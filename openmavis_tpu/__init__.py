@@ -1,0 +1,32 @@
+"""openmavis_tpu — a TPU-native multi-camera visual-inertial SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of OpenMAVIS
+(ORB-SLAM3 + 4-camera rig + SE2(3) exact IMU pre-integration; see SURVEY.md).
+Not a port: the pointer-graph + mutex architecture of the C++ reference is
+replaced by device-resident structure-of-arrays map slabs, jit-compiled
+kernels for every compute-heavy component, and `jax.sharding` for scale-out.
+
+Subpackages
+-----------
+geometry   Lie groups (SO3/SE3/Sim3), camera models, triangulation.
+imu        SE2(3) IMU pre-integration (`lax.scan` over samples).
+frontend   Image pyramid, FAST + oriented-BRIEF extraction, Hamming matching.
+solvers    Batched RANSAC solvers: two-view H/F, Sim3 Horn, PnP.
+optim      Batched Levenberg-Marquardt, Schur-complement BA, pose graphs.
+slam_map   Fixed-capacity map slabs, Atlas, keyframe database, vocabulary.
+pipeline   Tracking / local mapping / loop closing orchestration + System facade.
+parallel   Device meshes, sharded BA reductions, distributed place recognition.
+io         Dataset loaders, yaml settings, trajectory writers, checkpoints.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry and BA math everywhere in this package assumes true float32
+# accumulation. TPUs default f32 matmuls to bf16 passes; that is catastrophic
+# for 3x3 pose algebra and normal-equation assembly. Hot kernels that are
+# happy in bf16 (descriptor-distance matmuls) opt back in explicitly with
+# precision/preferred_element_type at the call site.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
