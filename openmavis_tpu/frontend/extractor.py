@@ -1,0 +1,130 @@
+"""ORB feature extraction over an image pyramid — fixed-capacity, batched.
+
+TPU-native replacement for `ORBextractor::operator()` (reference:
+src/ORBextractor.h:33-38, src/ORBextractor.cc): 8-level pyramid FAST with
+high->low threshold fallback, per-cell top-K spatial redistribution (the
+batch-friendly analog of `DistributeOctTree`, src/ORBextractor.cc:496),
+intensity-centroid orientation, Gaussian blur + rotated BRIEF.
+
+Everything returns fixed-capacity arrays with validity masks so downstream
+code stays static-shaped; invalid slots carry zeros. The multi-camera path
+of the reference (4 extraction std::threads, src/Frame.cc:1841-1862) becomes
+a `vmap` over the camera axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast, orb, pyramid
+
+
+class Features(NamedTuple):
+    """Per-image extracted features (fixed capacity K)."""
+    xy: jnp.ndarray        # [K, 2] float32 — level-0 pixel coords (x, y)
+    response: jnp.ndarray  # [K] float32
+    angle: jnp.ndarray     # [K] float32 radians
+    level: jnp.ndarray     # [K] int32 pyramid level
+    sigma2: jnp.ndarray    # [K] float32 = scale^(2*level) (per-kp variance)
+    desc: jnp.ndarray      # [K, 256] int8 {0,1}
+    valid: jnp.ndarray     # [K] bool
+
+    @property
+    def capacity(self):
+        return self.xy.shape[-2]
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    n_features: int = 512       # per image (reference flagship: 500/camera)
+    n_levels: int = 8
+    scale: float = 1.2
+    th_high: float = 15.0       # iniThFAST (Hilti yaml: 15)
+    th_low: float = 7.0         # minThFAST
+    cell: int = 32
+    topk_per_cell: int = 8
+    border: int = 16
+
+    def per_level_budget(self):
+        """Geometric feature split across levels (reference:
+        ORBextractor ctor mnFeaturesPerLevel)."""
+        inv = 1.0 / self.scale
+        raw = np.array([inv ** l for l in range(self.n_levels)])
+        raw = raw / raw.sum() * self.n_features
+        budget = np.floor(raw).astype(int)
+        budget[0] += self.n_features - budget.sum()
+        return [int(b) for b in budget]
+
+
+def _extract_level(img, budget, cfg: OrbConfig):
+    """One pyramid level -> fixed-capacity keypoints + descriptors."""
+    xy, score, valid = fast.detect(
+        img, cfg.th_high, cfg.th_low, cell=cfg.cell,
+        topk_per_cell=cfg.topk_per_cell, border=cfg.border)
+    # global top-`budget` among the per-cell survivors; small levels can have
+    # fewer candidates than the budget — pad with invalid slots
+    masked = jnp.where(valid, score, -1.0)
+    k_eff = min(budget, masked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, k_eff)
+    if k_eff < budget:
+        pad = budget - k_eff
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((pad,), -1.0, top_scores.dtype)])
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((pad,), top_idx.dtype)])
+    kp = xy[top_idx]                      # [budget, 2]
+    kp_valid = top_scores > 0
+
+    angles = orb.keypoint_angles(img, kp)
+    img_b = pyramid.blur(img)
+    desc = orb.describe(img_b, kp, angles)
+    desc = jnp.where(kp_valid[:, None], desc, 0)
+    return kp, top_scores, angles, desc, kp_valid
+
+
+def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
+    """[H, W] float32 image -> Features with capacity cfg.n_features."""
+    levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale)
+    budgets = cfg.per_level_budget()
+
+    all_xy, all_resp, all_ang, all_lv, all_s2, all_desc, all_valid = \
+        [], [], [], [], [], [], []
+    for lv, (img_l, budget) in enumerate(zip(levels, budgets)):
+        if budget == 0:
+            continue
+        kp, score, ang, desc, val = _extract_level(img_l, budget, cfg)
+        s = cfg.scale ** lv
+        all_xy.append(kp * s)             # rescale to level-0 coords
+        all_resp.append(score)
+        all_ang.append(ang)
+        all_lv.append(jnp.full((budget,), lv, dtype=jnp.int32))
+        all_s2.append(jnp.full((budget,), s * s, dtype=jnp.float32))
+        all_desc.append(desc)
+        all_valid.append(val)
+
+    return Features(
+        xy=jnp.concatenate(all_xy, axis=0),
+        response=jnp.concatenate(all_resp, axis=0),
+        angle=jnp.concatenate(all_ang, axis=0),
+        level=jnp.concatenate(all_lv, axis=0),
+        sigma2=jnp.concatenate(all_s2, axis=0),
+        desc=jnp.concatenate(all_desc, axis=0),
+        valid=jnp.concatenate(all_valid, axis=0),
+    )
+
+
+def extract_multicam(images: jnp.ndarray,
+                     cfg: OrbConfig = OrbConfig()) -> Features:
+    """[C, H, W] -> Features batched over the camera axis.
+
+    The reference extracts the 4 cameras in 4 std::threads
+    (src/Frame.cc:1841-1862); here the camera axis is a vmap batch dimension
+    of one fused program.
+    """
+    return jax.vmap(partial(extract, cfg=cfg))(images)

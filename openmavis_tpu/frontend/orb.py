@@ -1,0 +1,137 @@
+"""Oriented BRIEF: intensity-centroid orientation + rotated binary descriptor.
+
+TPU-native replacement for the reference's IC_Angle + computeOrbDescriptor
+(reference: src/ORBextractor.cc:19-100 and the static 512-point pattern).
+
+Design notes (TPU-first):
+* Orientation is computed as two dense depthwise convolutions (x- and
+  y-moment kernels over the circular patch) — one conv pair per level, then a
+  single gather per keypoint. This replaces the per-keypoint `umax` loop of
+  the reference with MXU-friendly convs.
+* The descriptor pattern is NOT the OpenCV learned pattern: it is a seeded
+  Gaussian pattern (BRIEF-paper sampling, sigma = patch/5, norm-clipped) —
+  descriptors only need internal consistency since the vocabulary is trained
+  on them (SURVEY.md §6: the reference ships no vocabulary either).
+* Descriptors are produced both bit-packed ([K, 8] uint32) for storage and
+  as {0,1} int8 planes ([K, 256]) feeding the MXU Hamming matcher.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_RADIUS = 15          # orientation patch (31x31), like the reference
+PATTERN_RADIUS = 13.0      # descriptor points stay within this norm
+N_BITS = 256
+
+
+def _circular_mask(radius: int) -> np.ndarray:
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.float32)
+
+
+def moment_kernels(radius: int = PATCH_RADIUS) -> np.ndarray:
+    """[2, 1, 2r+1, 2r+1] conv kernels computing (m10, m01) of the patch."""
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = _circular_mask(radius)
+    kx = (x * mask).astype(np.float32)
+    ky = (y * mask).astype(np.float32)
+    return np.stack([kx[None], ky[None]], axis=0)
+
+
+def orientation_maps(img: jnp.ndarray, radius: int = PATCH_RADIUS):
+    """[H, W] -> (m10 [H, W], m01 [H, W]) dense patch moments."""
+    k = jnp.asarray(moment_kernels(radius))
+    # NOTE: conv correlates with the flipped kernel; moment kernels are
+    # antisymmetric, so flip = negation — use conv dimension numbers that
+    # correlate directly instead.
+    out = jax.lax.conv_general_dilated(
+        img[None, None], k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0, 0], out[0, 1]
+
+
+def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray,
+                    radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """Intensity-centroid angle (radians) for keypoints [K, 2] (x, y)."""
+    m10, m01 = orientation_maps(img, radius)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+    return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+
+
+def make_pattern(seed: int = 1234, n_bits: int = N_BITS,
+                 sigma: float = 31.0 / 5.0,
+                 max_norm: float = PATTERN_RADIUS) -> np.ndarray:
+    """[n_bits, 2, 2] float32 (pairs of (x, y) points), deterministic."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, sigma, size=(n_bits, 2, 2)).astype(np.float32)
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = np.minimum(norm, max_norm) / np.maximum(norm, 1e-9)
+    return pts * scale
+
+
+_PATTERN = make_pattern()
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample [H, W] image at float coords (clamped)."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1)
+    idx = y0 * w + x0
+    v00 = jnp.take(flat, idx)
+    v01 = jnp.take(flat, idx + 1)
+    v10 = jnp.take(flat, idx + w)
+    v11 = jnp.take(flat, idx + w + 1)
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def describe(img_blur: jnp.ndarray, xy: jnp.ndarray,
+             angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF bits for keypoints.
+
+    Args:
+      img_blur: [H, W] Gaussian-blurred level image.
+      xy: [K, 2] keypoint coords (x, y) in this level's pixels.
+      angles: [K] orientation in radians.
+    Returns:
+      bits [K, 256] int8 in {0, 1}.
+    """
+    pat = jnp.asarray(_PATTERN)                     # [256, 2, 2]
+    c, s = jnp.cos(angles), jnp.sin(angles)         # [K]
+    # rotation applied to pattern points: p' = R(theta) p
+    px, py = pat[..., 0], pat[..., 1]               # [256, 2]
+    rx = c[:, None, None] * px[None] - s[:, None, None] * py[None]
+    ry = s[:, None, None] * px[None] + c[:, None, None] * py[None]
+    sx = xy[:, None, None, 0] + rx                  # [K, 256, 2]
+    sy = xy[:, None, None, 1] + ry
+    vals = _bilinear(img_blur, sx.reshape(-1), sy.reshape(-1))
+    vals = vals.reshape(sx.shape)                   # [K, 256, 2]
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[K, 256] {0,1} -> [K, 8] uint32 (for compact storage/checkpoint)."""
+    k = bits.shape[0]
+    b = bits.reshape(k, 8, 32).astype(jnp.uint32)
+    weights = jnp.asarray((1 << np.arange(32)).astype(np.uint32))
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """[K, 8] uint32 -> [K, 256] int8 in {0, 1}."""
+    k = packed.shape[0]
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    bits = (packed[:, :, None] >> shifts[None, None]) & jnp.uint32(1)
+    return bits.reshape(k, 256).astype(jnp.int8)
