@@ -1,0 +1,140 @@
+"""RANSAC solver tests: two-view E, PnP resection, Horn Sim3."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openmavis_tpu.geometry import lie
+from openmavis_tpu.solvers import pnp, sim3, two_view
+
+F = jnp.float32
+
+
+def scene_points(key, n, depth=(4.0, 12.0)):
+    ks = jax.random.split(key, 3)
+    return jnp.stack([
+        jax.random.uniform(ks[0], (n,), minval=-4, maxval=4),
+        jax.random.uniform(ks[1], (n,), minval=-3, maxval=3),
+        jax.random.uniform(ks[2], (n,), minval=depth[0], maxval=depth[1])],
+        axis=-1)
+
+
+class TestTwoView:
+    def _make(self, key, n=300, outlier_frac=0.15, noise=0.3 / 400):
+        p = scene_points(key, n)
+        R = lie.so3_exp(jnp.array([0.02, -0.4, 0.03], dtype=F))
+        t = jnp.array([0.8, 0.1, 0.05], dtype=F)
+        # camera 2 pose: p_c2 = R p_c1 + t
+        p2 = jnp.einsum("ij,nj->ni", R, p) + t
+        x1 = p[:, :2] / p[:, 2:3]
+        x2 = p2[:, :2] / p2[:, 2:3]
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x1 = x1 + noise * jax.random.normal(k1, x1.shape)
+        x2 = x2 + noise * jax.random.normal(k2, x2.shape)
+        n_out = int(n * outlier_frac)
+        x2 = x2.at[:n_out].add(
+            0.3 * jax.random.normal(jax.random.PRNGKey(8), (n_out, 2)))
+        valid = p2[:, 2] > 0.5
+        return x1, x2, valid, R, t, p, n_out
+
+    def test_recovers_relative_pose(self):
+        x1, x2, valid, R_gt, t_gt, p_gt, n_out = self._make(
+            jax.random.PRNGKey(0))
+        res = jax.jit(lambda k: two_view.reconstruct(
+            k, x1, x2, valid, focal=400.0))(jax.random.PRNGKey(1))
+        assert bool(res.success)
+        rot_err = np.linalg.norm(np.asarray(lie.so3_log(res.R.T @ R_gt)))
+        assert rot_err < 0.01, rot_err
+        # translation up to scale
+        t_dir = np.asarray(res.t) / np.linalg.norm(np.asarray(res.t))
+        t_gt_dir = np.asarray(t_gt) / np.linalg.norm(np.asarray(t_gt))
+        assert np.abs(t_dir @ t_gt_dir) > 0.999
+        # triangulated points match GT up to the same scale
+        good = np.asarray(res.is_good)
+        assert good.sum() > 150
+        scale = np.linalg.norm(np.asarray(t_gt))
+        pts = np.asarray(res.points)[good] * scale
+        err = np.linalg.norm(pts - np.asarray(p_gt)[good], axis=-1)
+        assert np.median(err) < 0.1, np.median(err)
+
+    def test_deterministic(self):
+        x1, x2, valid, *_ = self._make(jax.random.PRNGKey(2))
+        r1 = two_view.reconstruct(jax.random.PRNGKey(3), x1, x2, valid, 400.0)
+        r2 = two_view.reconstruct(jax.random.PRNGKey(3), x1, x2, valid, 400.0)
+        np.testing.assert_array_equal(np.asarray(r1.R), np.asarray(r2.R))
+
+    def test_fails_gracefully_on_garbage(self):
+        key = jax.random.PRNGKey(4)
+        x1 = jax.random.normal(key, (100, 2))
+        x2 = jax.random.normal(jax.random.PRNGKey(5), (100, 2))
+        res = two_view.reconstruct(jax.random.PRNGKey(6), x1, x2,
+                                   jnp.ones(100, bool), 400.0)
+        assert not bool(res.success)
+
+
+class TestPnP:
+    def test_resection(self):
+        key = jax.random.PRNGKey(10)
+        p_w = scene_points(key, 200)
+        R_gt = lie.so3_exp(jnp.array([0.2, -0.1, 0.3], dtype=F))
+        t_gt = jnp.array([0.5, -0.3, 0.8], dtype=F)
+        p_c = jnp.einsum("ij,nj->ni", R_gt, p_w) + t_gt
+        bearing = p_c / jnp.linalg.norm(p_c, axis=-1, keepdims=True)
+        # perturb 20% with garbage directions
+        n_out = 40
+        garbage = jax.random.normal(jax.random.PRNGKey(11), (n_out, 3))
+        garbage = garbage / jnp.linalg.norm(garbage, axis=-1, keepdims=True)
+        bearing = bearing.at[:n_out].set(garbage)
+        res = jax.jit(lambda k: pnp.ransac_pnp(
+            k, p_w, bearing, jnp.ones(200, bool)))(jax.random.PRNGKey(12))
+        assert bool(res.success)
+        rot_err = np.linalg.norm(np.asarray(lie.so3_log(res.R_cw.T @ R_gt)))
+        assert rot_err < 5e-3, rot_err
+        assert np.linalg.norm(np.asarray(res.t_cw - t_gt)) < 0.05
+        inl = np.asarray(res.inlier)
+        assert inl[:n_out].mean() < 0.1
+        assert inl[n_out:].mean() > 0.9
+
+
+class TestSim3:
+    def test_horn_exact(self):
+        key = jax.random.PRNGKey(13)
+        p1 = scene_points(key, 50)
+        s_gt, R_gt = 1.7, lie.so3_exp(jnp.array([0.3, 0.2, -0.4], dtype=F))
+        t_gt = jnp.array([2.0, -1.0, 0.5], dtype=F)
+        p2 = s_gt * jnp.einsum("ij,nj->ni", R_gt, p1) + t_gt
+        s, R, t = sim3.horn_sim3(p1, p2)
+        assert abs(float(s) - s_gt) < 1e-4
+        assert np.linalg.norm(np.asarray(lie.so3_log(R.T @ R_gt))) < 1e-4
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=1e-3)
+
+    def test_ransac_with_outliers(self):
+        key = jax.random.PRNGKey(14)
+        p1 = scene_points(key, 150)
+        s_gt, R_gt = 0.8, lie.so3_exp(jnp.array([-0.2, 0.5, 0.1], dtype=F))
+        t_gt = jnp.array([1.0, 2.0, -0.5], dtype=F)
+        p2 = s_gt * jnp.einsum("ij,nj->ni", R_gt, p1) + t_gt
+        p2 = p2 + 0.01 * jax.random.normal(jax.random.PRNGKey(15), p2.shape)
+        n_out = 40
+        p2 = p2.at[:n_out].add(
+            3.0 * jax.random.normal(jax.random.PRNGKey(16), (n_out, 3)))
+        res = jax.jit(lambda k: sim3.ransac_sim3(
+            k, p1, p2, jnp.ones(150, bool)))(jax.random.PRNGKey(17))
+        assert bool(res.success)
+        assert abs(float(res.s) - s_gt) < 0.02
+        assert np.linalg.norm(
+            np.asarray(lie.so3_log(res.R.T @ R_gt))) < 0.02
+        inl = np.asarray(res.inlier)
+        assert inl[:n_out].mean() < 0.2
+        assert inl[n_out:].mean() > 0.8
+
+    def test_fix_scale(self):
+        key = jax.random.PRNGKey(18)
+        p1 = scene_points(key, 100)
+        R_gt = lie.so3_exp(jnp.array([0.1, -0.3, 0.2], dtype=F))
+        t_gt = jnp.array([0.5, 0.1, -0.2], dtype=F)
+        p2 = jnp.einsum("ij,nj->ni", R_gt, p1) + t_gt
+        res = sim3.ransac_sim3(jax.random.PRNGKey(19), p1, p2,
+                               jnp.ones(100, bool), fix_scale=True)
+        assert float(res.s) == 1.0
+        assert bool(res.success)
