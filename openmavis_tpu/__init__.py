@@ -30,3 +30,16 @@ import jax as _jax
 # precision/preferred_element_type at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the full pipeline is many large jitted
+# programs; first compile on TPU takes minutes, cached reloads are seconds.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "OPENMAVIS_JAX_CACHE", _os.path.expanduser("~/.cache/openmavis_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is best-effort
+    pass
+

@@ -96,19 +96,25 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] rotation -> [..., 3] tangent. Robust near 0 and pi."""
+    """[..., 3, 3] rotation -> [..., 3] tangent. Robust near 0 and pi.
+
+    theta comes from atan2 (differentiable everywhere), NOT arccos, whose
+    infinite derivative at the identity poisons forward-mode autodiff
+    through pose-graph residuals.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # vee((R - R^T)/2) = sin(theta) * axis
     v = so3_vee(R)
+    n2 = jnp.sum(v * v, axis=-1)
+    theta = jnp.arctan2(jnp.sqrt(n2 + 1e-24), cos_t)
 
-    # Generic branch: w = theta / sin(theta) * v, Taylor near 0.
-    sin_t = jnp.sin(theta)
-    small = theta < _SMALL
-    t2 = theta * theta
-    scale = jnp.where(small, 1.0 + t2 / 6.0 + 7.0 * t2 * t2 / 360.0,
-                      theta / _safe(sin_t))
+    # Generic branch: w = theta / sin(theta) * v = theta/|v| * v, with a
+    # Taylor fallback where |v| is tiny AND the angle is small (|v| is also
+    # tiny near pi, but that region is overridden below).
+    small = n2 < 1e-12
+    safe_n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    scale = jnp.where(small, 1.0 + n2 / 6.0, theta / safe_n)
     w_generic = scale[..., None] * v
 
     # Large-angle branch: the generic formula divides by sin(theta) which loses

@@ -1,0 +1,129 @@
+"""Synthetic world renderer for end-to-end tests and benchmarks.
+
+Renders a "blob world" — random 3D points splatted as Gaussian sprites with
+per-point intensity patterns — through any camera model of the framework.
+This provides deterministic sequences with exact ground truth, standing in
+for dataset replay in environments without EuRoC/TUM-VI data (SURVEY.md §4:
+the reference's integration tests are dataset replays; this is the hermetic
+equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..geometry import lie
+
+import jax.numpy as jnp
+from ..geometry import cameras as cam_mod
+
+
+@dataclass
+class BlobWorld:
+    points: np.ndarray       # [N, 3]
+    intensity: np.ndarray    # [N]
+    size: np.ndarray         # [N] sprite radius scale
+
+    @staticmethod
+    def create(seed: int = 0, n: int = 4000,
+               box=((-12, 12), (-8, 8), (-4, 18)), cluster: int = 5):
+        """Clustered points: each cluster is a distinctive local
+        constellation, giving descriptors something to latch onto (isolated
+        identical blobs are deliberately ambiguous)."""
+        rng = np.random.default_rng(seed)
+        n_c = max(n // cluster, 1)
+        centers = np.stack([rng.uniform(lo, hi, n_c) for lo, hi in box],
+                           axis=-1)
+        pts = (centers[:, None, :]
+               + rng.normal(0, 0.25, (n_c, cluster, 3))).reshape(-1, 3)[:n]
+        inten = rng.uniform(60.0, 255.0, len(pts))
+        size = rng.uniform(0.8, 2.2, len(pts))
+        return BlobWorld(pts.astype(np.float32), inten.astype(np.float32),
+                         size.astype(np.float32))
+
+
+def render(world: BlobWorld, kind: int, params: np.ndarray,
+           R_cw: np.ndarray, t_cw: np.ndarray, w: int, h: int,
+           base: float = 30.0) -> np.ndarray:
+    """Render one camera view: [h, w] float32 image.
+
+    R_cw, t_cw: camera-from-world (p_c = R_cw p_w + t_cw).
+    Pure numpy (host-side data generation; not a perf path).
+    """
+    p_c = world.points @ R_cw.T + t_cw
+    in_front = p_c[:, 2] > 0.3
+    p_c = p_c[in_front]
+    inten = world.intensity[in_front]
+    size = world.size[in_front]
+
+    uv = np.asarray(cam_mod.project(kind, jnp.asarray(params),
+                                    jnp.asarray(p_c)))
+    # sprite radius shrinks with depth
+    rad = np.clip(size * 400.0 / (p_c[:, 2] * 100.0), 1.0, 4.0)
+
+    img = np.full((h, w), base, np.float32)
+    R = 4
+    ok = ((uv[:, 0] > R + 1) & (uv[:, 0] < w - R - 2)
+          & (uv[:, 1] > R + 1) & (uv[:, 1] < h - R - 2))
+    uv, inten, rad = uv[ok], inten[ok], rad[ok]
+    xi = np.round(uv[:, 0]).astype(int)
+    yi = np.round(uv[:, 1]).astype(int)
+    fy, fx = np.mgrid[-R:R + 1, -R:R + 1]
+    for k in range(len(xi)):
+        dx = uv[k, 0] - xi[k]
+        dy = uv[k, 1] - yi[k]
+        g = np.exp(-(((fx - dx) ** 2 + (fy - dy) ** 2)
+                     / (2 * (rad[k] * 0.6) ** 2)))
+        img[yi[k] - R:yi[k] + R + 1, xi[k] - R:xi[k] + R + 1] += inten[k] * g
+    return np.clip(img, 0, 255)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 6.0,
+                     frac: float = 0.35, height: float = 0.0):
+    """Camera orbit segment looking at the world center.
+
+    Returns (R_wc [T,3,3], t_wc [T,3]) world-from-camera poses.
+    """
+    Rs, ts = [], []
+    for i in range(n_frames):
+        ang = 2 * np.pi * frac * i / max(n_frames - 1, 1)
+        c = np.array([radius * np.sin(ang), height,
+                      7.0 - radius * np.cos(ang)], np.float32)
+        # look at world center (0, 0, 7)
+        fwd = np.array([0, 0, 7.0], np.float32) - c
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0, -1, 0], np.float32)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_wc = np.stack([right, -up2, fwd], axis=1)  # cols: x,y,z of cam
+        Rs.append(R_wc.astype(np.float32))
+        ts.append(c)
+    return np.stack(Rs), np.stack(ts)
+
+
+def forward_trajectory(n_frames: int, step: float = 0.12,
+                       yaw_rate: float = 0.004):
+    """Mostly-forward motion with gentle yaw (EuRoC-ish)."""
+    Rs, ts = [], []
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    for i in range(n_frames):
+        Rs.append(R.copy())
+        ts.append(t.copy())
+        R = R @ np.asarray(lie.so3_exp(jnp.asarray(
+            [0.0, yaw_rate, 0.0], dtype=jnp.float32)))
+        t = t + R @ np.array([0.0, 0.0, step], np.float32)
+    return np.stack(Rs), np.stack(ts)
+
+
+def render_sequence(world: BlobWorld, kind, params, R_wc, t_wc, w, h):
+    """Render all frames: [T, h, w]. Camera poses are world-from-camera."""
+    frames = []
+    for R, t in zip(R_wc, t_wc):
+        R_cw = R.T
+        t_cw = -R.T @ t
+        frames.append(render(world, kind, params, R_cw, t_cw, w, h))
+    return np.stack(frames)

@@ -220,7 +220,8 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
                   edges: InertialEdges | None = None,
                   prior=None, prior_idx: int = 0,
                   stages=(5, 10), lambda0: float = 1e-2,
-                  chi2_th: float = robust.CHI2_2D):
+                  chi2_th: float = robust.CHI2_2D,
+                  psum_axis: str | None = None):
     """Window bundle adjustment with landmark Schur elimination.
 
     Args:
@@ -233,11 +234,22 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
       stages: LM iterations per stage; observations are chi2-re-gated
         between stages (reference: LocalBundleAdjustment's 5+10 schedule).
     Returns (state, obs_inlier [O] bool, final_chi2).
+
+    `psum_axis`: when set, the function is being traced inside a
+    `shard_map` whose named axis shards the *observation* arrays; all
+    visual-term reductions are psum'd over it (the data-parallel
+    distributed-BA path — observations sharded, state replicated).
+    Inertial terms are replicated and not reduced.
     """
     D = 15 if edges is not None else 6
     K = state.R.shape[0]
     M = state.points.shape[0]
     active = obs.valid
+
+    def _psum(x):
+        if psum_axis is None:
+            return x
+        return jax.lax.psum(x, psum_axis)
 
     def assemble(st: BAState, active, lam):
         r, Jp, Jl, w, _ = _visual_terms(st, obs, rig, active)
@@ -257,7 +269,12 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
             jnp.einsum("oai,o,oaj->oij", Jp, w, Jl))
         Hpl6 = Hpl6.reshape(K, M, 6, 3).transpose(0, 2, 1, 3)  # [K,6,M,3]
 
-        chi = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        HppB = _psum(HppB)
+        gpB = _psum(gpB)
+        Hll = _psum(Hll)
+        gl = _psum(gl)
+        Hpl6 = _psum(Hpl6)
+        chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
 
         if D == 6:
             Hpp = jnp.zeros((K * 6, K * 6), r.dtype)
@@ -290,7 +307,7 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
 
     def chi2_fn(st: BAState, active):
         r, _, _, w, _ = _visual_terms(st, obs, rig, active)
-        chi = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
         if D == 15:
             chi = chi + _inertial_chi2(st, edges, prior, prior_idx)
         return chi

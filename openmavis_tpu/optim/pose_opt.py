@@ -74,8 +74,12 @@ def pose_optimization(R0, t0, p_w, cam_idx, uv, sigma2, valid,
             return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
         def retract(x, dx):
-            return PoseState(R=x.R @ lie.so3_exp(dx[:3]),
-                             t=x.t + x.R @ dx[3:6])
+            # normalize_rotation: ~40 multiplicative updates per call and
+            # many calls per trajectory — without re-projection onto SO(3)
+            # the accumulated drift breaks downstream triangulation
+            return PoseState(R=lie.normalize_rotation(
+                x.R @ lie.so3_exp(dx[:3])),
+                t=x.t + x.R @ dx[3:6])
 
         x, _, _ = lm_mod.lm_optimize(assemble, retract, chi2_fn,
                                      PoseState(R, t),

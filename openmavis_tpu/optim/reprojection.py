@@ -25,12 +25,23 @@ import jax.numpy as jnp
 from ..geometry import cameras, lie
 
 
-class RigParams(NamedTuple):
-    """Static-per-problem camera rig."""
-    kind: int                 # camera model kind (static python int)
-    params: jnp.ndarray       # [C, 8] intrinsics
-    R_cb: jnp.ndarray         # [C, 3, 3] camera-from-body rotation
-    t_cb: jnp.ndarray         # [C, 3]
+@jax.tree_util.register_pytree_node_class
+class RigParams:
+    """Camera rig: `kind` is static (pytree aux data, so jitted functions
+    can dispatch camera models at trace time), arrays are leaves."""
+
+    def __init__(self, kind: int, params, R_cb, t_cb):
+        self.kind = kind          # camera model kind (static python int)
+        self.params = params      # [C, 8] intrinsics
+        self.R_cb = R_cb          # [C, 3, 3] camera-from-body rotation
+        self.t_cb = t_cb          # [C, 3]
+
+    def tree_flatten(self):
+        return (self.params, self.R_cb, self.t_cb), self.kind
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, *children)
 
 
 def mono_residual_jac(R_wb, t_wb, p_w, cam_idx, uv_obs, rig: RigParams):

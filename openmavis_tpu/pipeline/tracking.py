@@ -1,0 +1,477 @@
+"""Tracking: the per-frame front-end loop (device kernels + host policy).
+
+TPU-native rebuild of the reference's Tracking thread (reference:
+src/Tracking.cc:1781 Track() state machine; 2799 TrackWithMotionModel; 2904
+TrackLocalMap; 3003 NeedNewKeyFrame; 3159 CreateNewKeyFrame). The hot math
+is jit-compiled device steps over the fixed-capacity MapState slabs; the
+thin state machine (initialization / lost handling / keyframe policy) stays
+in host Python, mirroring the reference's control flow without threads.
+
+Key idiom shift: there is no "local map harvesting" via covisibility
+pointer-walks (Tracking.cc:3396) — the tracker projects *every* valid
+landmark against the frame in one batched kernel and lets frustum/scale
+masks select the working set. At window-BA scale this is strictly cheaper
+on TPU than gather-based sparsity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import extractor, matcher
+from ..geometry import cameras, lie, triangulation
+from ..optim import ba, pose_opt
+from ..optim.reprojection import RigParams
+from ..slam_map import map_state as ms
+from ..solvers import two_view
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def project_landmarks(m: ms.MapState, R, t, rig_kind: int, rig_params,
+                      R_cb, t_cb, img_w: float, img_h: float):
+    """Project all landmarks into one camera; frustum + scale gating.
+
+    (reference: Frame::isInFrustumChecks, src/Frame.cc:1529-1653)
+    Returns (uv [M,2], pred_level [M], vis [M] bool, dist [M]).
+    """
+    p_b = jnp.einsum("ji,mj->mi", R, m.mp_pos - t)
+    p_c = jnp.einsum("ij,mj->mi", R_cb, p_b) + t_cb
+    uv = cameras.project(rig_kind, rig_params, p_c)
+    depth_ok = p_c[:, 2] > 0.1
+    in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < img_w)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < img_h))
+    # distance within scale-invariance range
+    cam_center = t + jnp.einsum("ij,j->i", R, -jnp.einsum(
+        "ij,j->i", R_cb.T, t_cb))
+    dvec = m.mp_pos - cam_center
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    dist_ok = (dist > 0.8 * m.mp_dmin) & (dist < 1.2 * m.mp_dmax)
+    # viewing angle vs landmark normal
+    vdir = dvec / jnp.maximum(dist[:, None], 1e-9)
+    cos_view = jnp.sum(vdir * m.mp_normal, axis=-1)
+    angle_ok = cos_view > 0.5
+    vis = m.mp_valid & depth_ok & in_img & dist_ok & angle_ok
+    lvl = ms.predict_scale_level(dist, m.mp_dmax)
+    return uv, lvl, vis, dist
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def track_step(m: ms.MapState, feats: extractor.Features,
+               R_pred, t_pred, rig_kind: int, rig: RigParams,
+               img_w: float, img_h: float, radius):
+    """Project-match-optimize against the whole map from a predicted pose.
+
+    Combines TrackWithMotionModel's projection search + PoseOptimization and
+    TrackLocalMap's second pass (reference: Tracking.cc:2799-3001).
+    Returns (R, t, feat_mp [F] per-feature landmark id or -1, n_inliers,
+             vis_mask [M]).
+    """
+    uv_proj, lvl, vis, dist = project_landmarks(
+        m, R_pred, t_pred, rig_kind, rig.params[0], rig.R_cb[0],
+        rig.t_cb[0], img_w, img_h)
+
+    idx, hdist = matcher.match_projection(
+        uv_proj, lvl, radius, m.mp_desc, vis,
+        feats.xy, feats.level, feats.desc, feats.valid,
+        max_dist=matcher.TH_HIGH, ratio=0.9)
+    F = feats.xy.shape[0]
+    idx = matcher.dedup_targets(idx, hdist, F)     # one landmark per feature
+
+    # pose optimization over matched pairs (queries are landmarks)
+    matched = idx >= 0
+    safe_idx = jnp.where(matched, idx, 0)
+    uv_obs = feats.xy[safe_idx]
+    sigma2 = feats.sigma2[safe_idx]
+    R, t, inlier, n_in = pose_opt.pose_optimization(
+        R_pred, t_pred, m.mp_pos, jnp.zeros_like(idx), uv_obs, sigma2,
+        matched & m.mp_valid, rig)
+
+    # per-feature landmark assignment (inverse mapping, inliers only)
+    keep = matched & inlier
+    feat_mp = jnp.full((F,), -1, jnp.int32)
+    feat_mp = feat_mp.at[jnp.where(keep, idx, F - 1)].max(
+        jnp.where(keep, jnp.arange(idx.shape[0], dtype=jnp.int32), -1))
+    # note: .at[].max with -1 default keeps unmatched at -1; collisions keep
+    # the larger landmark id (deterministic)
+    return R, t, feat_mp, n_in, vis, keep
+
+
+def _spawn_pair(m: ms.MapState, slot_new, slot_ref, rig_kind: int,
+                rig: RigParams, cap_new: int,
+                min_parallax: float = 0.99995):
+    """Triangulate new landmarks between a new KF and one reference KF."""
+    F = m.kf_xy.shape[1]
+    ref_ok = (slot_ref >= 0) & (slot_ref != slot_new)
+    slot_ref = jnp.maximum(slot_ref, 0)   # safe gather index
+    ref_ok = ref_ok & m.kf_valid[slot_ref]
+    d1 = m.kf_desc[slot_new]
+    d2 = m.kf_desc[slot_ref]
+    un1 = (m.kf_obs[slot_new] < 0) & m.kf_feat_valid[slot_new]
+    un2 = ((m.kf_obs[slot_ref] < 0) & m.kf_feat_valid[slot_ref]
+           & ref_ok)
+    idx, hdist = matcher.match_nn(d1, un1, d2, un2,
+                                  max_dist=64, ratio=0.9,
+                                  mutual=True)
+    idx = matcher.dedup_targets(idx, hdist, F)
+
+    # relative pose cam1(new KF) <- cam2(ref KF):
+    R1 = m.kf_R[slot_new] @ rig.R_cb[0].T
+    t1 = m.kf_t[slot_new] + m.kf_R[slot_new] @ (
+        -rig.R_cb[0].T @ rig.t_cb[0])
+    R2 = m.kf_R[slot_ref] @ rig.R_cb[0].T
+    t2 = m.kf_t[slot_ref] + m.kf_R[slot_ref] @ (
+        -rig.R_cb[0].T @ rig.t_cb[0])
+    R12 = R1.T @ R2
+    t12 = R1.T @ (t2 - t1)
+
+    matched = idx >= 0
+    safe = jnp.where(matched, idx, 0)
+    uv1 = m.kf_xy[slot_new]
+    uv2 = m.kf_xy[slot_ref][safe]
+    params = jnp.broadcast_to(rig.params[0], (F, 8))
+    X_c1, depth, tri_ok = triangulation.triangulate_matches(
+        rig_kind, params, params,
+        jnp.broadcast_to(R12, (F, 3, 3)), jnp.broadcast_to(t12, (F, 3)),
+        uv1, uv2,
+        sigma_level1=m.kf_sigma2[slot_new],
+        sigma_level2=m.kf_sigma2[slot_ref][safe],
+        min_cos_parallax=min_parallax)
+    good = matched & tri_ok
+
+    # allocate up to cap_new slots in order of feature index
+    order = jnp.cumsum(good.astype(jnp.int32)) - 1
+    M = m.mp_pos.shape[0]
+    slot = m.n_mp + order
+    write = good & (order < cap_new) & (slot < M)
+    tgt = jnp.where(write, slot, M)                # overflow bin
+
+    X_w = jnp.einsum("ij,fj->fi", R1, X_c1) + t1
+    mp_pos = jnp.zeros((M + 1, 3), m.mp_pos.dtype).at[tgt].set(X_w)[:M]
+    mp_desc = jnp.zeros((M + 1, 256), jnp.int8).at[tgt].set(d1)[:M]
+    newly = jnp.zeros((M + 1,), bool).at[tgt].set(write)[:M]
+
+    m = m._replace(
+        mp_pos=jnp.where(newly[:, None], mp_pos, m.mp_pos),
+        mp_desc=jnp.where(newly[:, None], mp_desc, m.mp_desc),
+        mp_valid=m.mp_valid | newly,
+        mp_first_kf=jnp.where(newly, slot_new, m.mp_first_kf),
+        n_mp=m.n_mp + jnp.sum(write.astype(jnp.int32)),
+        kf_obs=m.kf_obs
+            .at[slot_new].set(jnp.where(write, slot, m.kf_obs[slot_new]))
+            .at[slot_ref].set(
+                m.kf_obs[slot_ref].at[safe].max(
+                    jnp.where(write, slot, -1))),
+    )
+    return m, jnp.sum(write.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "cap_new", "n_refs"))
+def spawn_landmarks(m: ms.MapState, slot_new, ref_slots, rig_kind: int,
+                    rig: RigParams, cap_new: int, n_refs: int = 4,
+                    min_parallax: float = 0.99995):
+    """Triangulate new landmarks between a new KF and several recent KFs.
+
+    (reference: LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:395 —
+    searches ~10-20 covisible keyframes; here the `n_refs` most recent,
+    which doubles as a longer-baseline source under forward motion.)
+    `ref_slots`: [n_refs] int32, -1 entries skipped.
+    """
+    total = jnp.zeros((), jnp.int32)
+    for j in range(n_refs):
+        m, n = _spawn_pair(m, slot_new, ref_slots[j], rig_kind, rig,
+                           cap_new, min_parallax)
+        total = total + n
+    return ms.update_mp_geometry(m, None), total
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "window"))
+def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
+                  rig: RigParams, window: int = 8):
+    """Window BA over the `window` most recent keyframes.
+
+    (reference: LocalMapping's LocalBundleAdjustment dispatch,
+    src/LocalMapping.cc:156-177. The covisible-window + fixed-frontier
+    structure is approximated by a temporal window with the two oldest
+    members held fixed — exact covisibility windows arrive with the
+    keyframe database.)
+    """
+    K, F = m.kf_obs.shape
+    W = window
+    # window slots: newest_slot - W + 1 ... newest_slot (clamped >= 0)
+    w_ids = jnp.clip(newest_slot - W + 1 + jnp.arange(W), 0, K - 1)
+    w_valid = m.kf_valid[w_ids] & (w_ids <= newest_slot)
+
+    kf_local = jnp.repeat(jnp.arange(W), F)
+    slots = w_ids[kf_local]
+    feat = jnp.tile(jnp.arange(F), W)
+    mp = m.kf_obs[slots, feat]
+    valid = ((mp >= 0) & m.kf_feat_valid[slots, feat]
+             & w_valid[kf_local])
+    mp_safe = jnp.where(valid, mp, 0)
+    valid = valid & m.mp_valid[mp_safe]
+    obs = ba.BAObservations(
+        kf=kf_local, mp=mp_safe, cam=m.kf_cam[slots, feat],
+        uv=m.kf_xy[slots, feat], sigma2=m.kf_sigma2[slots, feat],
+        valid=valid)
+
+    state0 = ba.BAState(
+        R=m.kf_R[w_ids], t=m.kf_t[w_ids], v=m.kf_v[w_ids],
+        bg=m.kf_bg[w_ids], ba=m.kf_ba[w_ids], points=m.mp_pos)
+    # fix the two oldest valid window members (gauge + frontier)
+    fixed = (jnp.arange(W) < 2) | ~w_valid
+    M = m.mp_pos.shape[0]
+    observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    point_fixed = ~observed
+
+    state, inlier, chi = ba.bundle_adjust(
+        state0, obs, rig, fixed, point_fixed=point_fixed, stages=(5, 10))
+
+    # write back window poses + all points; drop gated-out observations
+    m = m._replace(
+        kf_R=m.kf_R.at[w_ids].set(
+            jnp.where(w_valid[:, None, None], state.R, m.kf_R[w_ids])),
+        kf_t=m.kf_t.at[w_ids].set(
+            jnp.where(w_valid[:, None], state.t, m.kf_t[w_ids])),
+        mp_pos=jnp.where(observed[:, None], state.points, m.mp_pos),
+        kf_obs=m.kf_obs.at[slots, feat].set(
+            jnp.where(valid & ~inlier, -1, m.kf_obs[slots, feat])),
+    )
+    return m, chi
+
+
+# ---------------------------------------------------------------------------
+# host-side tracker
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrackerConfig:
+    img_w: int = 640
+    img_h: int = 480
+    orb: extractor.OrbConfig = field(default_factory=extractor.OrbConfig)
+    max_kf: int = 64
+    max_mp: int = 8192
+    match_radius: float = 15.0
+    relost_radius: float = 30.0
+    min_inliers_track: int = 20
+    kf_min_inlier_frac: float = 0.75   # new KF if tracked < frac * ref
+    kf_min_inliers_abs: int = 60       # ... or tracked below this count
+    new_mp_cap: int = 256
+    ba_window: int = 8
+    init_min_matches: int = 80
+
+
+class Tracker:
+    """Single-camera (monocular) tracker. State machine mirrors
+    Tracking::Track (reference: src/Tracking.cc:1781-2230)."""
+
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+    def __init__(self, rig: RigParams, cfg: TrackerConfig,
+                 seed: int = 0):
+        self.rig = rig
+        self.cfg = cfg
+        self.state = self.NOT_INITIALIZED
+        self.map = ms.allocate(cfg.max_kf, cfg.orb.n_features, cfg.max_mp)
+        self.key = jax.random.PRNGKey(seed)
+        self._init_feats = None
+        self._init_img_time = None
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.R_prev = jnp.eye(3)
+        self.t_prev = jnp.zeros(3)
+        self.vel_R = jnp.eye(3)      # motion model: T_k = T_{k-1} * vel
+        self.vel_t = jnp.zeros(3)
+        self.last_kf_slot = -1
+        self.ref_kf_inliers = 0
+        self.trajectory = []         # (time, R, t) per frame
+        self.n_kf = 0
+        self._ext = jax.jit(
+            lambda im: extractor.extract(im, cfg.orb))
+
+    # -- helpers -----------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _bearing_z1(self, feats):
+        """Normalized z=1 coords of features through camera 0."""
+        ray = cameras.unproject(self.rig.kind, self.rig.params[0], feats.xy)
+        z = jnp.maximum(ray[:, 2], 1e-6)
+        return ray[:, :2] / z[:, None]
+
+    # -- initialization ----------------------------------------------------
+    def _try_initialize(self, feats, time):
+        cfg = self.cfg
+        if self._init_feats is None:
+            self._init_feats = feats
+            self._init_time = time
+            return False
+        f0 = self._init_feats
+        idx, hdist = matcher.match_nn(
+            feats.desc, feats.valid, f0.desc, f0.valid,
+            max_dist=matcher.TH_LOW, ratio=0.9, mutual=True)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < cfg.init_min_matches:
+            self._init_feats = feats   # slide the reference forward
+            self._init_time = time
+            return False
+
+        x1 = self._bearing_z1(f0)
+        x2 = self._bearing_z1(feats)
+        matched = idx >= 0
+        safe = jnp.where(matched, idx, 0)
+        res = two_view.reconstruct(
+            self._next_key(), x1[safe], x2, matched,
+            focal=float(self.rig.params[0, 0]))
+        if not bool(res.success):
+            return False
+
+        # scale so median depth = 1 (reference: MonocularInitialization)
+        good = np.asarray(res.is_good)
+        depths = np.asarray(res.points)[:, 2]
+        med = np.median(depths[good]) if good.any() else 1.0
+        scale = 1.0 / max(med, 1e-6)
+        pts_c0 = res.points * scale            # in first-frame camera
+        R01, t01 = res.R, res.t * scale        # cam1-from-cam0 (p1 = R p0+t)
+
+        # world = first body frame. KF0 at identity; KF1 pose:
+        # T_w_c1 = inv(T_c1_w) with T_c1_w = (R01, t01)
+        R_w1 = R01.T
+        t_w1 = -R01.T @ t01
+
+        m = self.map
+        F = cfg.orb.n_features
+        M = cfg.max_mp
+        n_new = int(good.sum())
+        # observation wiring: feature i of frame1 matches f0 feature idx[i]
+        order = np.cumsum(good) - 1
+        slot_np = np.where(good, order, -1).astype(np.int32)
+        obs1 = jnp.asarray(np.where(good, slot_np, -1))
+        obs0 = np.full((F,), -1, np.int32)
+        idx_np = np.asarray(idx)
+        sel = good & (idx_np >= 0)
+        obs0[idx_np[sel]] = slot_np[sel]
+        obs0 = jnp.asarray(obs0)
+
+        pts_w = jnp.asarray(pts_c0)            # world == cam0 frame
+        write = jnp.asarray(good) & (jnp.asarray(order) < M)
+        tgt = jnp.where(write, jnp.asarray(slot_np), M)
+        mp_pos = jnp.zeros((M + 1, 3)).at[tgt].set(pts_w)[:M]
+        mp_desc = jnp.zeros((M + 1, 256), jnp.int8).at[tgt].set(
+            feats.desc)[:M]
+        newly = jnp.zeros((M + 1,), bool).at[tgt].set(write)[:M]
+        m = m._replace(
+            mp_pos=jnp.where(newly[:, None], mp_pos, m.mp_pos),
+            mp_desc=jnp.where(newly[:, None], mp_desc, m.mp_desc),
+            mp_valid=newly, n_mp=jnp.asarray(n_new, jnp.int32))
+
+        z3 = jnp.zeros(3)
+        m = ms.insert_keyframe(
+            m, 0, jnp.eye(3), z3, z3, z3, z3, self._init_time,
+            f0.xy, f0.desc, f0.level, f0.sigma2,
+            jnp.zeros((F,), jnp.int32), f0.valid, obs0)
+        m = ms.insert_keyframe(
+            m, 1, R_w1, t_w1, z3, z3, z3, time,
+            feats.xy, feats.desc, feats.level, feats.sigma2,
+            jnp.zeros((F,), jnp.int32), feats.valid, obs1)
+        m = ms.update_mp_geometry(m, None)
+        self.map, _ = local_ba_step(m, jnp.asarray(1), self.rig.kind,
+                                    self.rig, window=2)
+        self.R, self.t = R_w1, t_w1
+        self.R_prev, self.t_prev = jnp.eye(3), jnp.zeros(3)
+        self.last_kf_slot = 1
+        self.n_kf = 2
+        self.ref_kf_inliers = n_new
+        self.state = self.OK
+        return True
+
+    # -- main entry --------------------------------------------------------
+    def process_frame(self, img: jnp.ndarray, time: float):
+        cfg = self.cfg
+        feats = self._ext(img)
+
+        if self.state == self.NOT_INITIALIZED:
+            ok = self._try_initialize(feats, time)
+            self.trajectory.append((time, np.asarray(self.R),
+                                    np.asarray(self.t)))
+            return ok
+
+        # motion-model prediction (reference: Tracking.cc mVelocity)
+        R_pred = self.R @ self.vel_R
+        t_pred = self.t + self.R @ self.vel_t
+
+        R, t, feat_mp, n_in, vis, keep = track_step(
+            self.map, feats, R_pred, t_pred, self.rig.kind, self.rig,
+            float(cfg.img_w), float(cfg.img_h), cfg.match_radius)
+        n_in = int(n_in)
+        if n_in < cfg.min_inliers_track:
+            # wider search from the last pose (RECENTLY_LOST coast)
+            R, t, feat_mp, n_in, vis, keep = track_step(
+                self.map, feats, self.R, self.t, self.rig.kind, self.rig,
+                float(cfg.img_w), float(cfg.img_h), cfg.relost_radius)
+            n_in = int(n_in)
+            if n_in < cfg.min_inliers_track:
+                self.state = self.LOST
+                self.trajectory.append((time, np.asarray(self.R),
+                                        np.asarray(self.t)))
+                return False
+
+        # update motion model: vel = T_{k-1}^{-1} T_k (body frame)
+        self.vel_R = self.R.T @ R
+        self.vel_t = self.R.T @ (t - self.t)
+        self.R_prev, self.t_prev = self.R, self.t
+        self.R, self.t = R, t
+        self.state = self.OK
+
+        # landmark statistics
+        m = self.map
+        self.map = m._replace(
+            mp_visible=m.mp_visible + vis.astype(jnp.int32),
+            mp_found=m.mp_found + keep.astype(jnp.int32))
+
+        # keyframe decision (reference: NeedNewKeyFrame, simplified: track
+        # ratio vs reference KF)
+        need_kf = (n_in < cfg.kf_min_inlier_frac
+                   * max(self.ref_kf_inliers, 1)
+                   or n_in < cfg.kf_min_inliers_abs)
+        if need_kf and self.n_kf < cfg.max_kf:
+            self._insert_keyframe(feats, time, feat_mp, n_in)
+
+        self.trajectory.append((time, np.asarray(self.R), np.asarray(self.t)))
+        return True
+
+    def _insert_keyframe(self, feats, time, feat_mp, n_in):
+        cfg = self.cfg
+        slot = self.n_kf
+        z3 = jnp.zeros(3)
+        F = cfg.orb.n_features
+        self.map = ms.insert_keyframe(
+            self.map, slot, self.R, self.t, z3, z3, z3, time,
+            feats.xy, feats.desc, feats.level, feats.sigma2,
+            jnp.zeros((F,), jnp.int32), feats.valid, feat_mp)
+        refs = jnp.asarray([slot - 1 - j for j in range(4)],
+                           dtype=jnp.int32)
+        self.map, n_new = spawn_landmarks(
+            self.map, jnp.asarray(slot), refs,
+            self.rig.kind, self.rig, cfg.new_mp_cap)
+        self.map, _ = local_ba_step(
+            self.map, jnp.asarray(slot), self.rig.kind, self.rig,
+            window=cfg.ba_window)
+        # refresh current pose from the BA result
+        self.R = self.map.kf_R[slot]
+        self.t = self.map.kf_t[slot]
+        self.last_kf_slot = slot
+        self.n_kf += 1
+        self.ref_kf_inliers = max(n_in, 1)

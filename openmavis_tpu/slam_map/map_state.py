@@ -1,0 +1,207 @@
+"""Device-resident SLAM map: fixed-capacity structure-of-arrays slabs.
+
+TPU-native replacement for the reference's pointer-graph map data model
+(reference: src/Map.cc KF/MP sets + mMutexMapUpdate, src/KeyFrame.cc
+covisibility graph, src/MapPoint.cc observation map). Instead of heap
+objects with mutexes:
+
+* keyframes and landmarks live in pre-allocated arrays with validity masks;
+* the observation structure is the per-keyframe feature table `kf_obs`
+  ([K, F] landmark id or -1) — the transpose of the reference's
+  `MapPoint::mObservations` map (MapPoint.h:117-123);
+* "deletion" is flag-clearing (`SetBadFlag` equivalents);
+* every mutation is a pure function old-state -> new-state, jit-compiled;
+  the single-writer step sequence replaces the big map lock;
+* the covisibility graph is not stored — it is *computed* on demand from
+  the observation table with one matmul (`covisibility_matrix`), replacing
+  KeyFrame::UpdateConnections incremental bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_R: jnp.ndarray        # [K,3,3] world-from-body rotation
+    kf_t: jnp.ndarray        # [K,3]
+    kf_v: jnp.ndarray        # [K,3] velocity (inertial)
+    kf_bg: jnp.ndarray       # [K,3]
+    kf_ba: jnp.ndarray       # [K,3]
+    kf_time: jnp.ndarray     # [K]
+    kf_valid: jnp.ndarray    # [K] bool
+    # --- per-keyframe features ---
+    kf_xy: jnp.ndarray       # [K,F,2]
+    kf_desc: jnp.ndarray     # [K,F,256] int8 {0,1}
+    kf_level: jnp.ndarray    # [K,F] int32
+    kf_sigma2: jnp.ndarray   # [K,F]
+    kf_cam: jnp.ndarray      # [K,F] int32 camera band
+    kf_feat_valid: jnp.ndarray  # [K,F] bool
+    kf_obs: jnp.ndarray      # [K,F] int32 map-point id or -1
+    # --- landmarks ---
+    mp_pos: jnp.ndarray      # [M,3]
+    mp_desc: jnp.ndarray     # [M,256] int8 distinctive descriptor
+    mp_normal: jnp.ndarray   # [M,3] mean viewing direction
+    mp_dmin: jnp.ndarray     # [M] scale-invariance range
+    mp_dmax: jnp.ndarray     # [M]
+    mp_valid: jnp.ndarray    # [M] bool
+    mp_visible: jnp.ndarray  # [M] int32 times predicted visible
+    mp_found: jnp.ndarray    # [M] int32 times matched
+    mp_first_kf: jnp.ndarray  # [M] int32
+    # --- counters ---
+    n_kf: jnp.ndarray        # [] int32
+    n_mp: jnp.ndarray        # [] int32
+
+
+def allocate(max_kf: int, max_feat: int, max_mp: int,
+             dtype=jnp.float32) -> MapState:
+    K, F, M = max_kf, max_feat, max_mp
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3, dtype=dtype), (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3), dtype),
+        kf_v=jnp.zeros((K, 3), dtype),
+        kf_bg=jnp.zeros((K, 3), dtype),
+        kf_ba=jnp.zeros((K, 3), dtype),
+        kf_time=jnp.zeros((K,), dtype),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_xy=jnp.zeros((K, F, 2), dtype),
+        kf_desc=jnp.zeros((K, F, 256), jnp.int8),
+        kf_level=jnp.zeros((K, F), jnp.int32),
+        kf_sigma2=jnp.ones((K, F), dtype),
+        kf_cam=jnp.zeros((K, F), jnp.int32),
+        kf_feat_valid=jnp.zeros((K, F), bool),
+        kf_obs=jnp.full((K, F), -1, jnp.int32),
+        mp_pos=jnp.zeros((M, 3), dtype),
+        mp_desc=jnp.zeros((M, 256), jnp.int8),
+        mp_normal=jnp.zeros((M, 3), dtype),
+        mp_dmin=jnp.zeros((M,), dtype),
+        mp_dmax=jnp.full((M,), 1e9, dtype),
+        mp_valid=jnp.zeros((M,), bool),
+        mp_visible=jnp.zeros((M,), jnp.int32),
+        mp_found=jnp.zeros((M,), jnp.int32),
+        mp_first_kf=jnp.zeros((M,), jnp.int32),
+        n_kf=jnp.zeros((), jnp.int32),
+        n_mp=jnp.zeros((), jnp.int32),
+    )
+
+
+def covisibility_matrix(m: MapState) -> jnp.ndarray:
+    """[K, K] count of shared landmarks between keyframes.
+
+    One incidence matmul replaces KeyFrame::UpdateConnections' per-point
+    counting loops (reference: src/KeyFrame.cc). Incidence is built by
+    scatter into [K, M] then contracted on the MXU.
+    """
+    K, F = m.kf_obs.shape
+    M = m.mp_pos.shape[0]
+    valid_obs = (m.kf_obs >= 0) & m.kf_feat_valid \
+        & m.kf_valid[:, None]
+    mp = jnp.where(valid_obs, m.kf_obs, M)  # overflow bin
+    inc = jnp.zeros((K, M + 1), jnp.bfloat16)
+    inc = inc.at[jnp.arange(K)[:, None], mp].max(
+        jnp.where(valid_obs, 1.0, 0.0).astype(jnp.bfloat16))
+    inc = inc[:, :M]
+    cov = jax.lax.dot_general(
+        inc, inc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT).astype(jnp.int32)
+    return cov - jnp.diag(jnp.diagonal(cov))
+
+
+def insert_keyframe(m: MapState, slot, R, t, v, bg, ba, time,
+                    xy, desc, level, sigma2, cam, feat_valid,
+                    obs) -> MapState:
+    """Write a keyframe into `slot` and update landmark statistics.
+
+    `obs` [F]: matched landmark id per feature (-1 = none). Equivalent of
+    Tracking::CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame.
+    """
+    m = m._replace(
+        kf_R=m.kf_R.at[slot].set(R),
+        kf_t=m.kf_t.at[slot].set(t),
+        kf_v=m.kf_v.at[slot].set(v),
+        kf_bg=m.kf_bg.at[slot].set(bg),
+        kf_ba=m.kf_ba.at[slot].set(ba),
+        kf_time=m.kf_time.at[slot].set(time),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_xy=m.kf_xy.at[slot].set(xy),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_level=m.kf_level.at[slot].set(level),
+        kf_sigma2=m.kf_sigma2.at[slot].set(sigma2),
+        kf_cam=m.kf_cam.at[slot].set(cam),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
+        kf_obs=m.kf_obs.at[slot].set(obs),
+        n_kf=jnp.maximum(m.n_kf, slot + 1),
+    )
+    # bump found counters for landmarks observed by this KF
+    M = m.mp_pos.shape[0]
+    tgt = jnp.where(obs >= 0, obs, M)
+    found = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(1)[:M]
+    # refresh landmark descriptors from this keyframe's observations —
+    # keeps them matchable as the viewpoint drifts. (The reference keeps the
+    # min-median-Hamming descriptor over all observations,
+    # MapPoint::ComputeDistinctiveDescriptors; latest-observation is the
+    # streaming approximation.)
+    new_desc = jnp.zeros((M + 1, 256), jnp.int8).at[tgt].set(desc)[:M]
+    touched = jnp.zeros((M + 1,), bool).at[tgt].set(obs >= 0)[:M]
+    return m._replace(
+        mp_found=m.mp_found + found,
+        mp_desc=jnp.where(touched[:, None], new_desc, m.mp_desc))
+
+
+def update_mp_geometry(m: MapState, mp_ids: jnp.ndarray,
+                       scale: float = 1.2,
+                       n_levels: int = 8) -> MapState:
+    """Refresh landmark normals and scale-invariance ranges from their
+    observing keyframes (reference: MapPoint::UpdateNormalAndDepth).
+
+    Uses the observation table: normal = mean of (pos - kf_center) dirs.
+    `mp_ids` may include -1 padding; full refresh is O(K*F) either way, so
+    the implementation just refreshes all valid landmarks.
+    """
+    K, F = m.kf_obs.shape
+    M = m.mp_pos.shape[0]
+    valid_obs = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    mp = jnp.where(valid_obs, m.kf_obs, M)
+    centers = m.kf_t[:, None, :].repeat(F, axis=1)       # [K,F,3]
+    dirs = m.mp_pos[jnp.minimum(mp, M - 1)] - centers
+    dist = jnp.linalg.norm(dirs, axis=-1)
+    dirs = dirs / jnp.maximum(dist[..., None], 1e-9)
+    w = valid_obs.astype(m.mp_pos.dtype)
+
+    flat_mp = mp.reshape(-1)
+    acc = jnp.zeros((M + 1, 3), m.mp_pos.dtype).at[flat_mp].add(
+        (dirs * w[..., None]).reshape(-1, 3))
+    cnt = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].add(
+        w.reshape(-1))
+    normal = acc[:M] / jnp.maximum(cnt[:M, None], 1.0)
+
+    # reference keyframe distance/level -> scale range: use the max distance
+    # observation and its level (approximation of mpRefKF logic)
+    lv = m.kf_level
+    dist_eff = jnp.where(valid_obs, dist, 0.0)
+    dmax_obs = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].max(
+        dist_eff.reshape(-1))[:M]
+    level_factor = scale ** lv.astype(m.mp_pos.dtype)
+    dref = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].max(
+        (dist_eff * level_factor).reshape(-1))[:M]
+    dmax = dref
+    dmin = dmax / (scale ** (n_levels - 1))
+    has_obs = cnt[:M] > 0
+    return m._replace(
+        mp_normal=jnp.where(has_obs[:, None], normal, m.mp_normal),
+        mp_dmax=jnp.where(has_obs, jnp.maximum(dmax, 1e-3), m.mp_dmax),
+        mp_dmin=jnp.where(has_obs, jnp.maximum(dmin, 1e-4), m.mp_dmin))
+
+
+def predict_scale_level(dist, dmax, scale: float = 1.2,
+                        n_levels: int = 8) -> jnp.ndarray:
+    """Predicted pyramid level from distance (MapPoint::PredictScale)."""
+    ratio = dmax / jnp.maximum(dist, 1e-6)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6)) / np.log(scale))
+    return jnp.clip(lvl.astype(jnp.int32), 0, n_levels - 1)

@@ -1,0 +1,146 @@
+"""Binary visual vocabulary: hierarchical k-medians over ORB descriptors.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary (reference:
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — hierarchical k-means tree,
+k=10, L=6 for the ORB vocabulary; tf-idf BowVector; L1 scoring). Idiom
+shifts (SURVEY.md §2.2):
+
+* the tree is dense arrays (per-level center tables), not node objects;
+* training clusters EVERY node of a level simultaneously — one batched
+  k-medians (majority-bit centroids, Hamming assignment via the MXU
+  Hamming matmul) per level;
+* transform (descriptor -> word) is a level-wise batched argmin descent;
+* BoW vectors are dense [n_words] tf-idf arrays, so database scoring is a
+  matmul (see keyframe_db.py).
+
+The reference repo ships no vocabulary at all (SURVEY.md §6: Vocabulary/ is
+absent; build.sh expects a separately downloaded ORBvoc); training our own
+is the supported path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import matcher
+
+
+class Vocabulary(NamedTuple):
+    """Dense vocabulary tree: level l has k^(l+1) nodes."""
+    centers: tuple          # per level: [k^(l+1), 256] int8 centers
+    idf: jnp.ndarray        # [n_words] inverse document frequency
+    k: int                  # branching factor
+
+    @property
+    def n_words(self):
+        return self.centers[-1].shape[0]
+
+
+def _assign(desc, centers_per_node, node_of_desc):
+    """desc [N,256]; centers_per_node [n_nodes, k, 256]; node_of_desc [N].
+    Returns child index [N] in 0..k-1 by Hamming argmin."""
+    cen = centers_per_node[node_of_desc]          # [N, k, 256]
+    d = jnp.sum(jnp.abs(cen.astype(jnp.int32)
+                        - desc[:, None, :].astype(jnp.int32)), axis=-1)
+    return jnp.argmin(d, axis=-1)
+
+
+def train(desc: np.ndarray, k: int = 10, levels: int = 3,
+          iters: int = 6, seed: int = 0) -> Vocabulary:
+    """Train a k^levels-word vocabulary from [N, 256] {0,1} descriptors.
+
+    All nodes of a level are clustered in one batched loop: descriptors
+    carry their parent-node id; centroids are per-(node, child) majority
+    bits; assignment is Hamming argmin among the k sibling centers.
+    """
+    desc = np.asarray(desc, np.int8)
+    n = len(desc)
+    rng = np.random.default_rng(seed)
+    desc_j = jnp.asarray(desc)
+
+    node = jnp.zeros((n,), jnp.int32)     # parent node id at current level
+    centers_list = []
+    n_nodes = 1
+    for lv in range(levels):
+        # init: random member of each node for each child slot
+        perm = rng.permutation(n)
+        init = np.zeros((n_nodes, k, 256), np.int8)
+        node_np = np.asarray(node)
+        for c in range(n_nodes):
+            members = perm[node_np[perm] == c]
+            if len(members) == 0:
+                members = perm[:k]
+            sel = members[(np.arange(k) * 2654435761) % len(members)]
+            init[c] = desc[sel]
+        centers = jnp.asarray(init)
+
+        @jax.jit
+        def em(centers, node):
+            def step(centers, _):
+                child = _assign(desc_j, centers, node)
+                slot = node * k + child
+                ones = jnp.ones((n,), jnp.float32)
+                cnt = jnp.zeros((n_nodes * k,), jnp.float32).at[slot].add(
+                    ones)
+                bit_sum = jnp.zeros((n_nodes * k, 256),
+                                    jnp.float32).at[slot].add(
+                    desc_j.astype(jnp.float32))
+                new = (bit_sum > 0.5 * cnt[:, None]).astype(jnp.int8)
+                keep = (cnt > 0)[:, None]
+                flat = jnp.where(keep, new, centers.reshape(-1, 256))
+                return flat.reshape(n_nodes, k, 256), None
+            centers, _ = jax.lax.scan(step, centers, None, length=iters)
+            child = _assign(desc_j, centers, node)
+            return centers, node * k + child
+
+        centers, node = em(centers, node)
+        centers_list.append(centers.reshape(n_nodes * k, 256))
+        n_nodes *= k
+
+    # idf from training counts
+    word = np.asarray(node)
+    counts = np.bincount(word, minlength=n_nodes).astype(np.float64)
+    idf = np.log(max(n, 1) / np.maximum(counts, 1.0)).astype(np.float32)
+    return Vocabulary(centers=tuple(centers_list), idf=jnp.asarray(idf),
+                      k=k)
+
+
+def transform(vocab: Vocabulary, desc: jnp.ndarray,
+              valid: jnp.ndarray) -> jnp.ndarray:
+    """[F, 256] descriptors -> [n_words] L1-normalized tf-idf BoW vector."""
+    n = desc.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    k = vocab.k
+    for centers in vocab.centers:
+        cen = centers.reshape(-1, k, 256)
+        child = _assign(desc, cen, node)
+        node = node * k + child
+    w = vocab.n_words
+    tf = jnp.zeros((w,), jnp.float32).at[node].add(
+        valid.astype(jnp.float32))
+    v = tf * vocab.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+def word_ids(vocab: Vocabulary, desc: jnp.ndarray) -> jnp.ndarray:
+    """[F, 256] -> [F] leaf word id (for BoW-gated feature matching)."""
+    n = desc.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    k = vocab.k
+    for centers in vocab.centers:
+        cen = centers.reshape(-1, k, 256)
+        node = node * k + _assign(desc, cen, node)
+    return node
+
+
+def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity: s = 1 - 0.5 |v1 - v2|_1 (vectors L1-normalized).
+
+    (reference: Thirdparty/DBoW2 ScoringObject.cpp L1Scoring)
+    Batched over leading dims of v1.
+    """
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)

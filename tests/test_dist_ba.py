@@ -1,0 +1,85 @@
+"""Distributed BA on the 8-device virtual CPU mesh: must match single-device
+results (observation sharding is a pure reduction restructuring)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openmavis_tpu.geometry import cameras, lie
+from openmavis_tpu.optim import ba
+from openmavis_tpu.optim.reprojection import RigParams
+from openmavis_tpu.parallel import dist_ba
+
+F = jnp.float32
+PIN = jnp.array([400.0, 400.0, 320.0, 240.0, 0, 0, 0, 0], dtype=F)
+
+
+def mono_rig():
+    return RigParams(kind=cameras.PINHOLE, params=PIN[None],
+                     R_cb=jnp.eye(3, dtype=F)[None],
+                     t_cb=jnp.zeros((1, 3), dtype=F))
+
+
+def make_problem(key, K=6, M=200):
+    ks = jax.random.split(key, 8)
+    points = jnp.stack([
+        jax.random.uniform(ks[0], (M,), minval=-6, maxval=8),
+        jax.random.uniform(ks[1], (M,), minval=-4, maxval=4),
+        jax.random.uniform(ks[2], (M,), minval=6, maxval=14)], axis=-1)
+    R_gt = jnp.stack([lie.so3_exp(jnp.array([0.0, 0.05 * k, 0.0], dtype=F))
+                      for k in range(K)])
+    t_gt = jnp.stack([jnp.array([0.4 * k, 0.0, 0.0], dtype=F)
+                      for k in range(K)])
+    kf = jnp.repeat(jnp.arange(K), M)
+    mp = jnp.tile(jnp.arange(M), K)
+    p_b = jnp.einsum("oji,oj->oi", R_gt[kf], points[mp] - t_gt[kf])
+    uv = cameras.pinhole_project(PIN, p_b)
+    uv = uv + 0.4 * jax.random.normal(ks[3], uv.shape)
+    valid = (p_b[:, 2] > 1.0) & (jnp.abs(uv[:, 0] - 320) < 320) \
+        & (jnp.abs(uv[:, 1] - 240) < 240)
+    obs = ba.BAObservations(kf=kf, mp=mp, cam=jnp.zeros_like(kf), uv=uv,
+                            sigma2=jnp.ones_like(uv[:, 0]), valid=valid)
+    dR = jax.vmap(lie.so3_exp)(0.01 * jax.random.normal(ks[4], (K, 3)))
+    z3 = jnp.zeros((K, 3), dtype=F)
+    state0 = ba.BAState(
+        R=(R_gt @ dR).at[:2].set(R_gt[:2]),
+        t=(t_gt + 0.03 * jax.random.normal(ks[5], (K, 3))
+           ).at[:2].set(t_gt[:2]),
+        v=z3, bg=z3, ba=z3,
+        points=points + 0.03 * jax.random.normal(ks[6], points.shape))
+    fixed = jnp.asarray([True, True] + [False] * (K - 2))
+    return state0, obs, fixed, R_gt, t_gt, points
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self):
+        assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+        state0, obs, fixed, R_gt, t_gt, points = make_problem(
+            jax.random.PRNGKey(0))
+        mesh = dist_ba.make_mesh(jax.devices()[:8])
+
+        st_s, inl_s, chi_s = ba.bundle_adjust(state0, obs, mono_rig(),
+                                              fixed)
+        st_d, inl_d, chi_d = dist_ba.distributed_bundle_adjust(
+            mesh, state0, obs, mono_rig(), fixed)
+
+        # both must converge to the ground truth (float assoc. differences
+        # mean bit-exactness is not expected, but solutions must agree)
+        np.testing.assert_allclose(np.asarray(st_d.t), np.asarray(t_gt),
+                                   atol=0.02)
+        np.testing.assert_allclose(np.asarray(st_d.t), np.asarray(st_s.t),
+                                   atol=0.01)
+        assert abs(float(chi_d) - float(chi_s)) / max(float(chi_s), 1) < 0.1
+        agree = float((inl_d == inl_s).mean())
+        assert agree > 0.99, agree
+
+    def test_uneven_observation_count(self):
+        """Padding path: O not divisible by n_devices."""
+        state0, obs, fixed, *_ = make_problem(jax.random.PRNGKey(1), K=5,
+                                              M=101)
+        mesh = dist_ba.make_mesh(jax.devices()[:8])
+        st_d, inl_d, chi_d = dist_ba.distributed_bundle_adjust(
+            mesh, state0, obs, mono_rig(), fixed)
+        assert inl_d.shape[0] == obs.kf.shape[0]
+        assert np.isfinite(float(chi_d))
