@@ -64,8 +64,7 @@ def main():
     med = steady[len(steady) // 2]
     fps = 1.0 / med
 
-    t_est = np.asarray([t for t, _, _ in tr.trajectory])
-    p_est = np.asarray([p for _, _, p in tr.trajectory])
+    t_est, _, p_est = tr.get_trajectory()
     res = evaluation.ate_rmse(t_est, p_est, np.arange(n_frames) / 20.0,
                               t_wc, with_scale=True)
 

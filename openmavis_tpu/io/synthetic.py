@@ -119,6 +119,59 @@ def forward_trajectory(n_frames: int, step: float = 0.12,
     return np.stack(Rs), np.stack(ts)
 
 
+def imu_from_trajectory(R_wb: np.ndarray, p_wb: np.ndarray, dt: float,
+                        rate_mult: int = 10,
+                        gravity=(0.0, 0.0, -9.81)):
+    """Finite-difference IMU samples along a keyframe trajectory.
+
+    Interpolates the pose sequence `rate_mult`x (geodesic for rotation,
+    cubic-ish for position via quadratic finite differences), then emits
+    (w_body, a_body, t) samples at dt/rate_mult spacing.
+    Returns list of (w [3], a [3], t).
+    """
+    g = np.asarray(gravity, np.float32)
+    T = len(R_wb)
+    h = dt / rate_mult
+    samples = []
+    # dense positions by Catmull-Rom-ish quadratic interpolation
+    def pos(u):
+        i = min(int(u), T - 2)
+        f = u - i
+        p0 = p_wb[max(i - 1, 0)]
+        p1 = p_wb[i]
+        p2 = p_wb[min(i + 1, T - 1)]
+        p3 = p_wb[min(i + 2, T - 1)]
+        # Catmull-Rom
+        return 0.5 * ((2 * p1) + (-p0 + p2) * f
+                      + (2 * p0 - 5 * p1 + 4 * p2 - p3) * f * f
+                      + (-p0 + 3 * p1 - 3 * p2 + p3) * f ** 3)
+
+    def rot(u):
+        i = min(int(u), T - 2)
+        f = u - i
+        dR = R_wb[i].T @ R_wb[i + 1]
+        w = np.asarray(lie.so3_log(jnp.asarray(dR, dtype=jnp.float32)))
+        return R_wb[i] @ np.asarray(lie.so3_exp(
+            jnp.asarray(f * w, dtype=jnp.float32)))
+
+    n = (T - 1) * rate_mult
+    for k in range(n):
+        u = k / rate_mult
+        t = (k + 1) * h
+        Rk = rot(u)
+        # angular velocity: FD of rotation over h
+        dR = Rk.T @ rot(u + 1.0 / rate_mult)
+        w = np.asarray(lie.so3_log(jnp.asarray(
+            dR, dtype=jnp.float32))) / h
+        # world acceleration: central second difference
+        a_w = (pos(u + 1.0 / rate_mult) - 2 * pos(u)
+               + pos(max(u - 1.0 / rate_mult, 0.0))) / (h * h)
+        a_b = Rk.T @ (a_w.astype(np.float32) - g)
+        samples.append((w.astype(np.float32), a_b.astype(np.float32),
+                        float(t)))
+    return samples
+
+
 def render_sequence(world: BlobWorld, kind, params, R_wc, t_wc, w, h):
     """Render all frames: [T, h, w]. Camera poses are world-from-camera."""
     frames = []

@@ -68,7 +68,8 @@ def project_landmarks(m: ms.MapState, R, t, rig_kind: int, rig_params,
 @partial(jax.jit, static_argnames=("rig_kind",))
 def track_step(m: ms.MapState, feats: extractor.Features,
                R_pred, t_pred, rig_kind: int, rig: RigParams,
-               img_w: float, img_h: float, radius):
+               img_w: float, img_h: float, radius,
+               min_last_kf=-1):
     """Project-match-optimize against the whole map from a predicted pose.
 
     Combines TrackWithMotionModel's projection search + PoseOptimization and
@@ -79,6 +80,10 @@ def track_step(m: ms.MapState, feats: extractor.Features,
     uv_proj, lvl, vis, dist = project_landmarks(
         m, R_pred, t_pred, rig_kind, rig.params[0], rig.R_cb[0],
         rig.t_cb[0], img_w, img_h)
+    # optional local-map recency window (reference: TrackLocalMap's
+    # covisibility-harvested local map; -1 = track against the whole map,
+    # the TPU-native default)
+    vis = vis & (m.mp_last_kf >= min_last_kf)
 
     idx, hdist = matcher.match_projection(
         uv_proj, lvl, radius, m.mp_desc, vis,
@@ -165,6 +170,7 @@ def _spawn_pair(m: ms.MapState, slot_new, slot_ref, rig_kind: int,
         mp_desc=jnp.where(newly[:, None], mp_desc, m.mp_desc),
         mp_valid=m.mp_valid | newly,
         mp_first_kf=jnp.where(newly, slot_new, m.mp_first_kf),
+        mp_last_kf=jnp.where(newly, slot_new, m.mp_last_kf),
         n_mp=m.n_mp + jnp.sum(write.astype(jnp.int32)),
         kf_obs=m.kf_obs
             .at[slot_new].set(jnp.where(write, slot, m.kf_obs[slot_new]))
@@ -173,6 +179,68 @@ def _spawn_pair(m: ms.MapState, slot_new, slot_ref, rig_kind: int,
                     jnp.where(write, slot, -1))),
     )
     return m, jnp.sum(write.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def bind_landmarks(m: ms.MapState, slot, rig_kind: int, rig: RigParams,
+                   img_w: float, img_h: float, radius: float = 10.0,
+                   min_last_kf=-1):
+    """Associate a keyframe's unbound features with existing landmarks by
+    projection search, writing kf_obs.
+
+    (reference: LocalMapping::SearchInNeighbors / ORBmatcher::Fuse,
+    src/LocalMapping.cc:786 — duplicate-aware association of the new KF's
+    features to map points of neighboring keyframes.)
+    """
+    F = m.kf_xy.shape[1]
+    uv_proj, lvl, vis, dist = project_landmarks(
+        m, m.kf_R[slot], m.kf_t[slot], rig_kind, rig.params[0],
+        rig.R_cb[0], rig.t_cb[0], img_w, img_h)
+    unbound = (m.kf_obs[slot] < 0) & m.kf_feat_valid[slot]
+    # exclude landmarks already bound to this KF
+    M = m.mp_pos.shape[0]
+    bound = jnp.zeros((M,), bool).at[
+        jnp.where(m.kf_obs[slot] >= 0, m.kf_obs[slot], 0)].max(
+        m.kf_obs[slot] >= 0)
+    vis = vis & (m.mp_last_kf >= min_last_kf)
+    idx, hdist = matcher.match_projection(
+        uv_proj, lvl, radius, m.mp_desc, vis & ~bound,
+        m.kf_xy[slot], m.kf_level[slot], m.kf_desc[slot], unbound,
+        max_dist=matcher.TH_LOW, ratio=0.9)
+    idx = matcher.dedup_targets(idx, hdist, F)
+    keep = idx >= 0
+    new_obs = m.kf_obs[slot].at[jnp.where(keep, idx, F - 1)].max(
+        jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
+    # bump found counters
+    tgt = jnp.where(keep, jnp.arange(M), M)
+    found = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(1)[:M]
+    touched = jnp.zeros((M + 1,), bool).at[tgt].set(keep)[:M]
+    return m._replace(kf_obs=m.kf_obs.at[slot].set(new_obs),
+                      mp_found=m.mp_found + found,
+                      mp_last_kf=jnp.where(touched, slot, m.mp_last_kf))
+
+
+@jax.jit
+def descriptor_place_scores(m: ms.MapState, slot):
+    """Direct place-recognition scores: for each keyframe, the number of
+    query features whose best Hamming match in that keyframe is < TH_LOW.
+
+    The TPU replaces the reference's BoW inverted file
+    (KeyFrameDatabase::DetectNBestCandidates) with one dense descriptor
+    matmul over ALL keyframes — affordable on the MXU and far more
+    discriminative than quantized words.
+    Returns scores [K] int32.
+    """
+    K, F = m.kf_obs.shape
+    q = m.kf_desc[slot]                          # [F, 256]
+    q_valid = m.kf_feat_valid[slot]
+    targets = m.kf_desc.reshape(K * F, 256)
+    dist = matcher.hamming_matrix(q, targets).reshape(F, K, F)
+    t_valid = m.kf_feat_valid.reshape(1, K, F)
+    dist = jnp.where(t_valid & q_valid[:, None, None], dist, 1 << 20)
+    best = jnp.min(dist, axis=2)                 # [F, K]
+    good = best < matcher.TH_LOW
+    return jnp.sum(good.astype(jnp.int32), axis=0)
 
 
 @partial(jax.jit, static_argnames=("rig_kind", "cap_new", "n_refs"))
@@ -263,6 +331,7 @@ class TrackerConfig:
     match_radius: float = 15.0
     relost_radius: float = 30.0
     min_inliers_track: int = 20
+    local_map_window: Optional[int] = None  # None = whole-map tracking
     kf_min_inlier_frac: float = 0.75   # new KF if tracked < frac * ref
     kf_min_inliers_abs: int = 60       # ... or tracked below this count
     new_mp_cap: int = 256
@@ -279,9 +348,10 @@ class Tracker:
     LOST = 2
 
     def __init__(self, rig: RigParams, cfg: TrackerConfig,
-                 seed: int = 0):
+                 seed: int = 0, loop_closer=None):
         self.rig = rig
         self.cfg = cfg
+        self.loop_closer = loop_closer   # optional LoopCloser hook
         self.state = self.NOT_INITIALIZED
         self.map = ms.allocate(cfg.max_kf, cfg.orb.n_features, cfg.max_mp)
         self.key = jax.random.PRNGKey(seed)
@@ -295,7 +365,10 @@ class Tracker:
         self.vel_t = jnp.zeros(3)
         self.last_kf_slot = -1
         self.ref_kf_inliers = 0
-        self.trajectory = []         # (time, R, t) per frame
+        # (time, ref_kf, R_rel, t_rel) per frame — relative to the latest
+        # keyframe so map corrections retro-fix the trajectory (reference:
+        # mlRelativeFramePoses + SaveTrajectoryEuRoC, src/System.cc:717)
+        self.trajectory = []
         self.n_kf = 0
         self._ext = jax.jit(
             lambda im: extractor.extract(im, cfg.orb))
@@ -404,28 +477,30 @@ class Tracker:
 
         if self.state == self.NOT_INITIALIZED:
             ok = self._try_initialize(feats, time)
-            self.trajectory.append((time, np.asarray(self.R),
-                                    np.asarray(self.t)))
+            self._record(time)
             return ok
 
         # motion-model prediction (reference: Tracking.cc mVelocity)
         R_pred = self.R @ self.vel_R
         t_pred = self.t + self.R @ self.vel_t
 
+        min_last = (-1 if cfg.local_map_window is None
+                    else self.last_kf_slot - cfg.local_map_window)
         R, t, feat_mp, n_in, vis, keep = track_step(
             self.map, feats, R_pred, t_pred, self.rig.kind, self.rig,
-            float(cfg.img_w), float(cfg.img_h), cfg.match_radius)
+            float(cfg.img_w), float(cfg.img_h), cfg.match_radius,
+            min_last)
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
-            # wider search from the last pose (RECENTLY_LOST coast)
+            # wider search from the last pose against the WHOLE map
+            # (RECENTLY_LOST coast + implicit relocalization)
             R, t, feat_mp, n_in, vis, keep = track_step(
                 self.map, feats, self.R, self.t, self.rig.kind, self.rig,
                 float(cfg.img_w), float(cfg.img_h), cfg.relost_radius)
             n_in = int(n_in)
             if n_in < cfg.min_inliers_track:
                 self.state = self.LOST
-                self.trajectory.append((time, np.asarray(self.R),
-                                        np.asarray(self.t)))
+                self._record(time)
                 return False
 
         # update motion model: vel = T_{k-1}^{-1} T_k (body frame)
@@ -449,8 +524,27 @@ class Tracker:
         if need_kf and self.n_kf < cfg.max_kf:
             self._insert_keyframe(feats, time, feat_mp, n_in)
 
-        self.trajectory.append((time, np.asarray(self.R), np.asarray(self.t)))
+        self._record(time)
         return True
+
+    def _record(self, time):
+        ref = max(self.last_kf_slot, 0)
+        R_ref = np.asarray(self.map.kf_R[ref])
+        t_ref = np.asarray(self.map.kf_t[ref])
+        R_rel = R_ref.T @ np.asarray(self.R)
+        t_rel = R_ref.T @ (np.asarray(self.t) - t_ref)
+        self.trajectory.append((time, ref, R_rel, t_rel))
+
+    def get_trajectory(self):
+        """(times, R [T,3,3], t [T,3]) replayed against the FINAL map."""
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        times, Rs, ts = [], [], []
+        for (tm, ref, R_rel, t_rel) in self.trajectory:
+            times.append(tm)
+            Rs.append(kf_R[ref] @ R_rel)
+            ts.append(kf_t[ref] + kf_R[ref] @ t_rel)
+        return np.asarray(times), np.stack(Rs), np.stack(ts)
 
     def _insert_keyframe(self, feats, time, feat_mp, n_in):
         cfg = self.cfg
@@ -466,12 +560,24 @@ class Tracker:
         self.map, n_new = spawn_landmarks(
             self.map, jnp.asarray(slot), refs,
             self.rig.kind, self.rig, cfg.new_mp_cap)
+        min_last = (-1 if cfg.local_map_window is None
+                    else slot - cfg.local_map_window)
+        self.map = bind_landmarks(
+            self.map, jnp.asarray(slot), self.rig.kind, self.rig,
+            float(cfg.img_w), float(cfg.img_h), min_last_kf=min_last)
         self.map, _ = local_ba_step(
             self.map, jnp.asarray(slot), self.rig.kind, self.rig,
             window=cfg.ba_window)
-        # refresh current pose from the BA result
-        self.R = self.map.kf_R[slot]
-        self.t = self.map.kf_t[slot]
         self.last_kf_slot = slot
         self.n_kf += 1
         self.ref_kf_inliers = max(n_in, 1)
+        if self.loop_closer is not None:
+            self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
+            if closed:
+                # re-run a local BA to settle the welded region
+                self.map, _ = local_ba_step(
+                    self.map, jnp.asarray(slot), self.rig.kind, self.rig,
+                    window=cfg.ba_window)
+        # refresh current pose from the (possibly corrected) map
+        self.R = self.map.kf_R[slot]
+        self.t = self.map.kf_t[slot]

@@ -53,6 +53,7 @@ class MapState(NamedTuple):
     mp_visible: jnp.ndarray  # [M] int32 times predicted visible
     mp_found: jnp.ndarray    # [M] int32 times matched
     mp_first_kf: jnp.ndarray  # [M] int32
+    mp_last_kf: jnp.ndarray   # [M] int32 most recent observing keyframe
     # --- counters ---
     n_kf: jnp.ndarray        # [] int32
     n_mp: jnp.ndarray        # [] int32
@@ -85,6 +86,7 @@ def allocate(max_kf: int, max_feat: int, max_mp: int,
         mp_visible=jnp.zeros((M,), jnp.int32),
         mp_found=jnp.zeros((M,), jnp.int32),
         mp_first_kf=jnp.zeros((M,), jnp.int32),
+        mp_last_kf=jnp.zeros((M,), jnp.int32),
         n_kf=jnp.zeros((), jnp.int32),
         n_mp=jnp.zeros((), jnp.int32),
     )
@@ -151,7 +153,8 @@ def insert_keyframe(m: MapState, slot, R, t, v, bg, ba, time,
     touched = jnp.zeros((M + 1,), bool).at[tgt].set(obs >= 0)[:M]
     return m._replace(
         mp_found=m.mp_found + found,
-        mp_desc=jnp.where(touched[:, None], new_desc, m.mp_desc))
+        mp_desc=jnp.where(touched[:, None], new_desc, m.mp_desc),
+        mp_last_kf=jnp.where(touched, slot, m.mp_last_kf))
 
 
 def update_mp_geometry(m: MapState, mp_ids: jnp.ndarray,

@@ -55,8 +55,7 @@ class TestMonoE2E:
         assert tracker.n_kf >= 2
         assert int(tracker.map.n_mp) > 100
 
-        t_est = np.asarray([t for t, _, _ in tracker.trajectory])
-        p_est = np.asarray([p for _, _, p in tracker.trajectory])
+        t_est, _, p_est = tracker.get_trajectory()
         t_gt = np.arange(len(frames)) / 20.0
         res = evaluation.ate_rmse(t_est, p_est, t_gt, t_wc,
                                   with_scale=True)
