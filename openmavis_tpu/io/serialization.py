@@ -1,0 +1,55 @@
+"""Atlas / map checkpointing.
+
+TPU-native replacement for the reference's boost-serialization Atlas
+save/load (reference: System::SaveAtlas/LoadAtlas src/System.cc:1420-1556
+with MD5 vocabulary checksum; per-class serialize + PreSave/PostLoad fixup).
+Because the map is already a structure of arrays, a checkpoint is one
+compressed npz plus a JSON header with a config hash — no pointer fixup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..slam_map import map_state as ms
+
+FORMAT_VERSION = 1
+
+
+def config_hash(cfg_dict: dict) -> str:
+    """Stable hash binding a checkpoint to its configuration (the analog of
+    the reference's vocabulary MD5 binding, System.cc:1520-1556)."""
+    blob = json.dumps(cfg_dict, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def save_map(path: str, m: ms.MapState, cfg_dict: dict | None = None):
+    arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
+    header = json.dumps({
+        "format": FORMAT_VERSION,
+        "config_hash": config_hash(cfg_dict or {}),
+        "fields": list(m._fields),
+    })
+    np.savez_compressed(path, __header__=np.frombuffer(
+        header.encode(), dtype=np.uint8), **arrays)
+
+
+def load_map(path: str, cfg_dict: dict | None = None,
+             strict: bool = True) -> ms.MapState:
+    with np.load(path) as data:
+        header = json.loads(bytes(data["__header__"]).decode())
+        if header["format"] != FORMAT_VERSION:
+            raise ValueError(f"checkpoint format {header['format']} != "
+                             f"{FORMAT_VERSION}")
+        if strict and cfg_dict is not None:
+            h = config_hash(cfg_dict)
+            if h != header["config_hash"]:
+                raise ValueError(
+                    "checkpoint was written with a different configuration "
+                    f"({header['config_hash']} != {h})")
+        return ms.MapState(**{f: jnp.asarray(data[f])
+                              for f in header["fields"]})

@@ -1,0 +1,142 @@
+"""System facade: the one-object public API of the framework.
+
+TPU-native replacement for the reference's System class (reference:
+include/System.h:88-204 — ctor(voc, settings, sensor) spawning worker
+threads; per-frame TrackMonocular/TrackStereo/TrackMulti; Shutdown;
+SaveTrajectory{TUM,EuRoC}; SaveAtlas/LoadAtlas; localization-mode toggles).
+The thread trio becomes synchronous pipeline stages over jit-compiled
+device programs; everything else keeps the same surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io import serialization, settings as settings_mod, trajectory
+from ..utils.timing import StageTimer
+from . import loop_closing, multi_tracking, tracking
+
+
+class Sensor(Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    MULTI = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_MULTI = 5       # the flagship MAVIS mode (reference System.h:65)
+
+
+class System:
+    """Facade owning the tracker, loop closer and map.
+
+    Example:
+        cfg = settings dict or yaml path (see io.settings)
+        slam = System(cfg, Sensor.IMU_MULTI)
+        for frame: slam.track_multi(images, t, imu_samples)
+        slam.shutdown(); slam.save_trajectory_tum("traj.txt")
+    """
+
+    def __init__(self, config, sensor: Sensor,
+                 enable_loop_closing: bool = True,
+                 tracker_overrides: Optional[dict] = None,
+                 seed: int = 0):
+        self.sensor = sensor
+        self.timer = StageTimer()
+        s = settings_mod.load_settings(config)
+        self.settings = s
+        rig = s["rig"]
+        n_cams = rig.params.shape[0]
+        inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
+                              Sensor.IMU_MULTI)
+        multi = sensor in (Sensor.STEREO, Sensor.MULTI, Sensor.IMU_STEREO,
+                           Sensor.IMU_MULTI)
+
+        overrides = tracker_overrides or {}
+        if multi:
+            cfg = multi_tracking.MultiTrackerConfig(
+                img_w=s["camera_width"], img_h=s["camera_height"],
+                n_cams=n_cams,
+                stereo_pairs=tuple(overrides.pop(
+                    "stereo_pairs", ((0, 1),) if n_cams >= 2 else ())),
+                orb=s["orb"], use_imu=inertial,
+                imu_freq=s["imu_frequency"],
+                **overrides)
+            lc = (loop_closing.LoopCloser(None, cfg.max_kf)
+                  if enable_loop_closing else None)
+            self.tracker = multi_tracking.MultiTracker(
+                rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc)
+        else:
+            cfg = tracking.TrackerConfig(
+                img_w=s["camera_width"], img_h=s["camera_height"],
+                orb=s["orb"], **overrides)
+            lc = (loop_closing.LoopCloser(None, cfg.max_kf)
+                  if enable_loop_closing else None)
+            self.tracker = tracking.Tracker(rig, cfg, seed=seed,
+                                            loop_closer=lc)
+        self.loop_closer = lc
+        self.cfg = cfg
+        self._shutdown = False
+
+    # -- per-frame entry points (reference System.h:88-129) ---------------
+    def track_monocular(self, image, timestamp: float) -> bool:
+        assert self.sensor == Sensor.MONOCULAR
+        with self.timer.stage("track"):
+            return self.tracker.process_frame(jnp.asarray(image),
+                                              timestamp)
+
+    def track_multi(self, images, timestamp: float,
+                    imu_samples=None) -> bool:
+        """images [C, H, W]; imu_samples iterable of (w, a, t)."""
+        assert self.sensor in (Sensor.STEREO, Sensor.MULTI,
+                               Sensor.IMU_STEREO, Sensor.IMU_MULTI)
+        if imu_samples is not None:
+            for (w, a, t) in imu_samples:
+                self.tracker.feed_imu(w, a, t)
+        with self.timer.stage("track"):
+            return self.tracker.process_frame(jnp.asarray(images),
+                                              timestamp)
+
+    # -- state -------------------------------------------------------------
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def tracking_state(self):
+        return self.tracker.state
+
+    def shutdown(self):
+        """(reference: System::Shutdown — here: flush/no-op, stages are
+        synchronous)."""
+        self._shutdown = True
+
+    # -- persistence (reference System.h:141-204) --------------------------
+    def save_trajectory_tum(self, path: str):
+        times, R, t = self.tracker.get_trajectory()
+        trajectory.save_tum(path, times, R, t)
+
+    def save_trajectory_euroc(self, path: str):
+        times, R, t = self.tracker.get_trajectory()
+        trajectory.save_euroc(path, times, R, t)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.tracker.map
+        n = int(m.n_kf)
+        trajectory.save_tum(path, np.asarray(m.kf_time[:n]),
+                            np.asarray(m.kf_R[:n]),
+                            np.asarray(m.kf_t[:n]))
+
+    def save_atlas(self, path: str):
+        serialization.save_map(path, self.tracker.map,
+                               {"sensor": self.sensor.name})
+
+    def load_atlas(self, path: str):
+        self.tracker.map = serialization.load_map(
+            path, {"sensor": self.sensor.name})
+
+    def print_time_stats(self):
+        return self.timer.print_stats()
