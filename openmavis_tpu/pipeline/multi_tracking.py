@@ -46,6 +46,19 @@ def concat_bands(feats: extractor.Features) -> dict:
     )
 
 
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "orb_cfg"))
+def frame_step_multi(m: ms.MapState, images, R_pred, t_pred,
+                     rig_kind: int, n_cams: int, rig: RigParams, orb_cfg,
+                     img_w: float, img_h: float, radius, min_last_kf=-1):
+    """Fused per-frame step: multi-camera extraction + banding + tracking
+    in one device program (one dispatch per frame)."""
+    feats = extractor.extract_multicam(images, orb_cfg)
+    bank = concat_bands(feats)
+    out = track_step_multi(m, bank, R_pred, t_pred, rig_kind, n_cams,
+                           rig, img_w, img_h, radius, min_last_kf)
+    return out + (bank,)
+
+
 @partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
 def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
                      rig_kind: int, n_cams: int, rig: RigParams,
@@ -188,6 +201,7 @@ class MultiTrackerConfig:
     relost_radius: float = 30.0
     min_inliers_track: int = 30
     local_map_window: Optional[int] = None
+    fused_frontend: bool = False
     kf_min_inlier_frac: float = 0.75
     kf_min_inliers_abs: int = 120
     kf_max_interval_s: float = 0.5     # inertial KF cadence (Tracking.cc:3003)
@@ -272,10 +286,9 @@ class MultiTracker:
     def process_frame(self, images: jnp.ndarray, time: float):
         """images: [C, H, W] float32."""
         cfg = self.cfg
-        feats = self._ext(images)
-        bank = concat_bands(feats)
 
         if self.state == self.NOT_INITIALIZED:
+            bank = concat_bands(self._ext(images))
             ok = self._initialize(bank, time)
             self._record(time)
             self.last_time = time
@@ -295,10 +308,17 @@ class MultiTracker:
 
         min_last = (-1 if cfg.local_map_window is None
                     else self.last_kf_slot - cfg.local_map_window)
-        R, t, feat_mp, n_in, vis, keep = track_step_multi(
-            self.map, bank, R_pred, t_pred, self.rig.kind, cfg.n_cams,
-            self.rig, float(cfg.img_w), float(cfg.img_h),
-            cfg.match_radius, min_last)
+        if cfg.fused_frontend:
+            R, t, feat_mp, n_in, vis, keep, bank = frame_step_multi(
+                self.map, images, R_pred, t_pred, self.rig.kind,
+                cfg.n_cams, self.rig, cfg.orb, float(cfg.img_w),
+                float(cfg.img_h), cfg.match_radius, min_last)
+        else:
+            bank = concat_bands(self._ext(images))
+            R, t, feat_mp, n_in, vis, keep = track_step_multi(
+                self.map, bank, R_pred, t_pred, self.rig.kind,
+                cfg.n_cams, self.rig, float(cfg.img_w),
+                float(cfg.img_h), cfg.match_radius, min_last)
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
             R, t, feat_mp, n_in, vis, keep = track_step_multi(
@@ -402,6 +422,8 @@ class MultiTracker:
             self.map, _ = stereo_spawn(
                 self.map, jnp.asarray(slot), self.rig.kind, cfg.n_cams,
                 self.rig, pair, cap_new=cfg.new_mp_cap)
+        self.map = mono.fuse_new_landmarks(self.map, jnp.asarray(slot),
+                                           cap=cfg.new_mp_cap)
         self.map = ms.update_mp_geometry(self.map, None)
 
         # preintegration for this KF interval

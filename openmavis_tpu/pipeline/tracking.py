@@ -65,6 +65,19 @@ def project_landmarks(m: ms.MapState, R, t, rig_kind: int, rig_params,
     return uv, lvl, vis, dist
 
 
+@partial(jax.jit, static_argnames=("rig_kind", "orb_cfg"))
+def frame_step(m: ms.MapState, img, R_pred, t_pred, rig_kind: int,
+               rig: RigParams, orb_cfg, img_w: float, img_h: float,
+               radius, min_last_kf=-1):
+    """Fused per-frame step: ORB extraction + whole-map tracking in ONE
+    device program (one dispatch per frame; through remote TPU transports
+    the per-call overhead dominates otherwise)."""
+    feats = extractor.extract(img, orb_cfg)
+    out = track_step(m, feats, R_pred, t_pred, rig_kind, rig, img_w,
+                     img_h, radius, min_last_kf)
+    return out + (feats,)
+
+
 @partial(jax.jit, static_argnames=("rig_kind",))
 def track_step(m: ms.MapState, feats: extractor.Features,
                R_pred, t_pred, rig_kind: int, rig: RigParams,
@@ -243,6 +256,147 @@ def descriptor_place_scores(m: ms.MapState, slot):
     return jnp.sum(good.astype(jnp.int32), axis=0)
 
 
+@jax.jit
+def cull_landmarks(m: ms.MapState, current_slot,
+                   min_found_ratio: float = 0.25,
+                   min_visible: int = 8, grace_kfs: int = 2):
+    """Invalidate rarely-matched landmarks.
+
+    (reference: LocalMapping::MapPointCulling, src/LocalMapping.cc:360 —
+    found/visible ratio < 0.25 or unobserved after a grace period.)
+    """
+    age = current_slot - m.mp_first_kf
+    ratio = (m.mp_found.astype(jnp.float32)
+             / jnp.maximum(m.mp_visible.astype(jnp.float32), 1.0))
+    bad = (m.mp_valid & (age >= grace_kfs)
+           & (m.mp_visible >= min_visible) & (ratio < min_found_ratio))
+    return m._replace(mp_valid=m.mp_valid & ~bad)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def fuse_new_landmarks(m: ms.MapState, slot, cap: int = 512,
+                       rel_dist_th: float = 0.02, desc_th: int = 40):
+    """Merge landmarks spawned at `slot` that duplicate older ones.
+
+    (reference: LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+    src/LocalMapping.cc:786 — here: each new landmark searches the nearest
+    OLD landmark within a depth-relative radius and descriptor gate; the
+    duplicate is invalidated and the keyframe's observation re-pointed.)
+    """
+    M = m.mp_pos.shape[0]
+    new_mask = m.mp_valid & (m.mp_first_kf == slot)
+    old_mask = m.mp_valid & (m.mp_first_kf != slot)
+    new_ids = jnp.nonzero(new_mask, size=cap, fill_value=M - 1)[0]
+    is_real = new_mask[new_ids]
+
+    d3 = jnp.linalg.norm(
+        m.mp_pos[new_ids][:, None, :] - m.mp_pos[None, :, :], axis=-1)
+    gate = rel_dist_th * jnp.maximum(
+        jnp.linalg.norm(m.mp_pos[new_ids], axis=-1), 1.0)[:, None]
+    near = (d3 < gate) & old_mask[None, :]
+    hd = matcher.hamming_matrix(m.mp_desc[new_ids], m.mp_desc)
+    cand = near & (hd < desc_th)
+    # nearest admissible old landmark (packed-min argmin)
+    bi, bv = matcher.masked_argmin(
+        (d3 * 1000.0).astype(jnp.int32), cand)
+    dup = is_real & (bv < matcher._INVALID)
+
+    # remap table: dup new id -> old id (non-dup rows write the identity
+    # value M-1 -> M-1, a harmless no-op)
+    remap = jnp.arange(M, dtype=jnp.int32)
+    remap = remap.at[jnp.where(dup, new_ids, M - 1)].set(
+        jnp.where(dup, bi, M - 1))
+
+    obs = m.kf_obs[slot]
+    obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
+    killed = jnp.zeros((M,), bool).at[
+        jnp.where(dup, new_ids, M - 1)].max(dup)
+    return m._replace(kf_obs=m.kf_obs.at[slot].set(obs),
+                      mp_valid=m.mp_valid & ~killed)
+
+
+@partial(jax.jit, static_argnames=("keep_recent",))
+def cull_keyframes(m: ms.MapState, current_slot, keep_recent: int = 5,
+                   redundancy: float = 0.85, min_other_obs: int = 4):
+    """Invalidate redundant keyframes.
+
+    (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:974 — a
+    keyframe whose observed landmarks are >=80-90% co-observed by >=3 other
+    keyframes at the same-or-finer scale is removed. Inertial mode keeps
+    the temporal chain and merges preintegrations — visual-only culling
+    here; inertial culling requires preintegration merge, tracked for the
+    multi tracker.)
+    At most ONE keyframe (the most redundant) is removed per call.
+    """
+    K, F = m.kf_obs.shape
+    M = m.mp_pos.shape[0]
+    valid_obs = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    mp = jnp.where(valid_obs, m.kf_obs, M)
+    obs_count = jnp.zeros((M + 1,), jnp.int32).at[mp.reshape(-1)].add(
+        valid_obs.reshape(-1).astype(jnp.int32))[:M]
+    well_observed = obs_count >= min_other_obs
+    mp_safe = jnp.minimum(mp, M - 1)
+    frac = (jnp.sum(jnp.where(valid_obs, well_observed[mp_safe], False),
+                    axis=1)
+            / jnp.maximum(jnp.sum(valid_obs, axis=1), 1))
+    protected = (jnp.arange(K) > current_slot - keep_recent) \
+        | (jnp.arange(K) <= 1)
+    cand = m.kf_valid & ~protected & (frac > redundancy) \
+        & (jnp.sum(valid_obs, axis=1) > 0)
+    worst = jnp.argmax(jnp.where(cand, frac, -1.0))
+    do = cand[worst]
+    kf_valid = m.kf_valid.at[worst].set(
+        jnp.where(do, False, m.kf_valid[worst]))
+    # clear its observations so landmark statistics stay consistent
+    kf_obs = m.kf_obs.at[worst].set(
+        jnp.where(do, jnp.full((F,), -1, jnp.int32), m.kf_obs[worst]))
+    return m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def relocalize_step(m: ms.MapState, feats: extractor.Features, key,
+                    rig_kind: int, rig: RigParams):
+    """Relocalization: best keyframe by dense descriptor scoring, 2D-3D
+    matches to its landmarks, RANSAC PnP on bearings.
+
+    (reference: Tracking::Relocalization, src/Tracking.cc:3543-3700 — KFDB
+    candidates + MLPnPsolver RANSAC + PoseOptimization refine.)
+    Returns (success, R_wb, t_wb, n_inliers).
+    """
+    from ..solvers import pnp as pnp_mod
+
+    K, F = m.kf_obs.shape
+    # score all keyframes by best-match counts (brute force on the MXU)
+    dist = matcher.hamming_matrix(
+        feats.desc, m.kf_desc.reshape(K * F, 256)).reshape(-1, K, F)
+    t_valid = m.kf_feat_valid & (m.kf_obs >= 0) & m.kf_valid[:, None]
+    dist = jnp.where(t_valid[None], dist, 1 << 20)
+    best_per_kf = jnp.min(dist, axis=2)
+    scores = jnp.sum((best_per_kf < matcher.TH_LOW).astype(jnp.int32)
+                     & feats.valid[:, None].astype(jnp.int32), axis=0)
+    kf = jnp.argmax(scores)
+
+    has_mp = (m.kf_obs[kf] >= 0) & m.kf_feat_valid[kf]
+    idx, hd = matcher.match_nn(feats.desc, feats.valid,
+                               m.kf_desc[kf], has_mp,
+                               max_dist=matcher.TH_LOW, ratio=0.85,
+                               mutual=True)
+    matched = idx >= 0
+    safe = jnp.where(matched, idx, 0)
+    mp = jnp.where(matched, m.kf_obs[kf][safe], 0)
+    valid = matched & m.mp_valid[mp]
+    p_w = m.mp_pos[mp]
+    bearing = cameras.unproject(rig_kind, rig.params[0], feats.xy)
+    # express bearings in body frame of camera 0
+    bearing_b = jnp.einsum("ji,fj->fi", rig.R_cb[0], bearing)
+
+    res = pnp_mod.ransac_pnp(key, p_w, bearing_b, valid, min_inliers=15)
+    # R_cw/t_cw are body(cam0-frame)-from-world -> invert to world-from-body
+    R_wb = res.R_cw.T
+    t_wb = -res.R_cw.T @ res.t_cw
+    return res.success, R_wb, t_wb, res.n_inliers
+
+
 @partial(jax.jit, static_argnames=("rig_kind", "cap_new", "n_refs"))
 def spawn_landmarks(m: ms.MapState, slot_new, ref_slots, rig_kind: int,
                     rig: RigParams, cap_new: int, n_refs: int = 4,
@@ -332,10 +486,17 @@ class TrackerConfig:
     relost_radius: float = 30.0
     min_inliers_track: int = 20
     local_map_window: Optional[int] = None  # None = whole-map tracking
+    # fuse extraction+tracking into one device program. Fewer dispatches,
+    # but the mega-program compiles slowly and can pessimize XLA scheduling
+    # on remote transports; measure per deployment.
+    fused_frontend: bool = False
     kf_min_inlier_frac: float = 0.75   # new KF if tracked < frac * ref
     kf_min_inliers_abs: int = 60       # ... or tracked below this count
     new_mp_cap: int = 256
     ba_window: int = 8
+    # window used to settle the map after a loop closure (the GBA analog;
+    # reference spawns a RunGlobalBundleAdjustment thread, LoopClosing.cc:1372)
+    gba_window: Optional[int] = 24
     init_min_matches: int = 80
 
 
@@ -473,12 +634,27 @@ class Tracker:
     # -- main entry --------------------------------------------------------
     def process_frame(self, img: jnp.ndarray, time: float):
         cfg = self.cfg
-        feats = self._ext(img)
 
         if self.state == self.NOT_INITIALIZED:
+            feats = self._ext(img)
             ok = self._try_initialize(feats, time)
             self._record(time)
             return ok
+
+        if self.state == self.LOST:
+            # relocalization attempt (reference: Tracking.cc:3543)
+            feats = self._ext(img)
+            ok_r, R_r, t_r, n_r = relocalize_step(
+                self.map, feats, self._next_key(), self.rig.kind,
+                self.rig)
+            if bool(ok_r):
+                self.R, self.t = R_r, t_r
+                self.vel_R = jnp.eye(3)
+                self.vel_t = jnp.zeros(3)
+                self.state = self.OK
+            else:
+                self._record(time)
+                return False
 
         # motion-model prediction (reference: Tracking.cc mVelocity)
         R_pred = self.R @ self.vel_R
@@ -486,10 +662,17 @@ class Tracker:
 
         min_last = (-1 if cfg.local_map_window is None
                     else self.last_kf_slot - cfg.local_map_window)
-        R, t, feat_mp, n_in, vis, keep = track_step(
-            self.map, feats, R_pred, t_pred, self.rig.kind, self.rig,
-            float(cfg.img_w), float(cfg.img_h), cfg.match_radius,
-            min_last)
+        if cfg.fused_frontend:
+            R, t, feat_mp, n_in, vis, keep, feats = frame_step(
+                self.map, img, R_pred, t_pred, self.rig.kind, self.rig,
+                cfg.orb, float(cfg.img_w), float(cfg.img_h),
+                cfg.match_radius, min_last)
+        else:
+            feats = self._ext(img)
+            R, t, feat_mp, n_in, vis, keep = track_step(
+                self.map, feats, R_pred, t_pred, self.rig.kind, self.rig,
+                float(cfg.img_w), float(cfg.img_h), cfg.match_radius,
+                min_last)
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
             # wider search from the last pose against the WHOLE map
@@ -565,6 +748,10 @@ class Tracker:
         self.map = bind_landmarks(
             self.map, jnp.asarray(slot), self.rig.kind, self.rig,
             float(cfg.img_w), float(cfg.img_h), min_last_kf=min_last)
+        self.map = fuse_new_landmarks(self.map, jnp.asarray(slot),
+                                      cap=cfg.new_mp_cap)
+        self.map = cull_landmarks(self.map, jnp.asarray(slot))
+        self.map = cull_keyframes(self.map, jnp.asarray(slot))
         self.map, _ = local_ba_step(
             self.map, jnp.asarray(slot), self.rig.kind, self.rig,
             window=cfg.ba_window)
@@ -574,10 +761,10 @@ class Tracker:
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
             if closed:
-                # re-run a local BA to settle the welded region
+                # wide BA to settle the welded map (GBA analog)
                 self.map, _ = local_ba_step(
                     self.map, jnp.asarray(slot), self.rig.kind, self.rig,
-                    window=cfg.ba_window)
+                    window=(cfg.gba_window or cfg.ba_window))
         # refresh current pose from the (possibly corrected) map
         self.R = self.map.kf_R[slot]
         self.t = self.map.kf_t[slot]
