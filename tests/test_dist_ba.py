@@ -9,7 +9,7 @@ import pytest
 from openmavis_tpu.geometry import cameras, lie
 from openmavis_tpu.optim import ba
 from openmavis_tpu.optim.reprojection import RigParams
-from openmavis_tpu.parallel import dist_ba
+from openmavis_tpu.parallel import dist_ba, dist_place
 
 F = jnp.float32
 PIN = jnp.array([400.0, 400.0, 320.0, 240.0, 0, 0, 0, 0], dtype=F)
@@ -83,3 +83,40 @@ class TestDistributedBA:
             mesh, state0, obs, mono_rig(), fixed)
         assert inl_d.shape[0] == obs.kf.shape[0]
         assert np.isfinite(float(chi_d))
+
+
+class TestShardedPlaceRecognition:
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+        from openmavis_tpu.parallel import dist_place
+        from openmavis_tpu.pipeline import tracking
+        from openmavis_tpu.slam_map import map_state as ms
+
+        key = jax.random.PRNGKey(0)
+        K, F = 16, 64
+        m = ms.allocate(K, F, 32)
+        desc = jax.random.bernoulli(key, 0.5, (K, F, 256)).astype(jnp.int8)
+        m = m._replace(kf_desc=desc,
+                       kf_feat_valid=jnp.ones((K, F), bool),
+                       kf_valid=jnp.ones((K,), bool),
+                       kf_obs=jnp.zeros((K, F), jnp.int32))
+        # query = noisy copy of KF 5's features
+        noise = jax.random.bernoulli(jax.random.PRNGKey(1), 0.02,
+                                     (F, 256)).astype(jnp.int8)
+        q = jnp.abs(desc[5] - noise)
+        m = m._replace(kf_desc=m.kf_desc.at[0].set(m.kf_desc[0]))
+
+        # single-device reference: reuse descriptor_place_scores by writing
+        # the query into a scratch slot
+        m_q = m._replace(kf_desc=m.kf_desc.at[K - 1].set(q),
+                         kf_valid=m.kf_valid.at[K - 1].set(True))
+        ref = tracking.descriptor_place_scores(m_q, jnp.asarray(K - 1))
+
+        mesh = dist_ba.make_mesh(jax.devices()[:8], axis="kf")
+        scores = dist_place.sharded_place_scores(
+            mesh, m.kf_desc, m.kf_feat_valid, m.kf_valid, q,
+            jnp.ones((F,), bool))
+        assert int(jnp.argmax(scores)) == 5
+        # agreement with the single-device scoring on shared slots
+        np.testing.assert_array_equal(np.asarray(scores[:K - 1]),
+                                      np.asarray(ref[:K - 1]))
