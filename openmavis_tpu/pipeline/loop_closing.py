@@ -12,6 +12,7 @@ insertion (the reference's thread becomes a pipeline stage).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,33 +38,83 @@ class LoopConfig:
     loop_edge_weight: float = 5.0
 
 
-@jax.jit
-def _matched_pairs_body(m: ms.MapState, slot_a, slot_b):
-    """Match features of two keyframes and return their associated
-    landmark positions in each keyframe's BODY frame.
+class MatchedPairs(NamedTuple):
+    p_a: jnp.ndarray        # [F,3] landmark in body frame of KF a
+    p_b: jnp.ndarray        # [F,3] ... of KF b
+    uv_a: jnp.ndarray       # [F,2] observed keypoint in KF a
+    uv_b: jnp.ndarray       # [F,2]
+    sigma2_a: jnp.ndarray   # [F]
+    sigma2_b: jnp.ndarray   # [F]
+    cam_a: jnp.ndarray      # [F] camera band of the observation
+    cam_b: jnp.ndarray      # [F]
+    valid: jnp.ndarray      # [F] bool
 
-    (reference: loop detection matches via SearchByBoW then feeds matched
-    MapPoint pairs to Sim3Solver, LoopClosing.cc:781-832)
-    Returns (p_a [F,3], p_b [F,3], valid [F]).
-    """
-    F = m.kf_xy.shape[1]
-    has_a = (m.kf_obs[slot_a] >= 0) & m.kf_feat_valid[slot_a]
-    has_b = (m.kf_obs[slot_b] >= 0) & m.kf_feat_valid[slot_b]
-    idx, hd = matcher.match_nn(m.kf_desc[slot_a], has_a,
-                               m.kf_desc[slot_b], has_b,
+
+def _pairs_from_tables(kfa, kfb, slot_a, slot_b):
+    """kfa/kfb: per-map (R, t, xy, desc, sigma2, cam, feat_valid, obs,
+    mp_pos, mp_valid) tuples. Shared by same-map and cross-map variants."""
+    (Ra, ta, xya, desca, s2a, cama, fva, obsa, posa, mpva) = kfa
+    (Rb, tb, xyb, descb, s2b, camb, fvb, obsb, posb, mpvb) = kfb
+    F = xya.shape[1]
+    has_a = (obsa[slot_a] >= 0) & fva[slot_a]
+    has_b = (obsb[slot_b] >= 0) & fvb[slot_b]
+    idx, hd = matcher.match_nn(desca[slot_a], has_a,
+                               descb[slot_b], has_b,
                                max_dist=64, ratio=0.9,
                                mutual=True)
     idx = matcher.dedup_targets(idx, hd, F)
     okm = idx >= 0
     safe = jnp.where(okm, idx, 0)
-    mp_a = jnp.where(okm, m.kf_obs[slot_a], 0)
-    mp_b = jnp.where(okm, m.kf_obs[slot_b][safe], 0)
-    valid = okm & m.mp_valid[mp_a] & m.mp_valid[mp_b]
-    pa_w = m.mp_pos[mp_a]
-    pb_w = m.mp_pos[mp_b]
-    p_a = jnp.einsum("ji,fj->fi", m.kf_R[slot_a], pa_w - m.kf_t[slot_a])
-    p_b = jnp.einsum("ji,fj->fi", m.kf_R[slot_b], pb_w - m.kf_t[slot_b])
-    return p_a, p_b, valid
+    mp_a = jnp.where(okm, obsa[slot_a], 0)
+    mp_b = jnp.where(okm, obsb[slot_b][safe], 0)
+    valid = okm & mpva[mp_a] & mpvb[mp_b]
+    p_a = jnp.einsum("ji,fj->fi", Ra[slot_a], posa[mp_a] - ta[slot_a])
+    p_b = jnp.einsum("ji,fj->fi", Rb[slot_b], posb[mp_b] - tb[slot_b])
+    return MatchedPairs(
+        p_a=p_a, p_b=p_b,
+        uv_a=xya[slot_a], uv_b=xyb[slot_b][safe],
+        sigma2_a=s2a[slot_a], sigma2_b=s2b[slot_b][safe],
+        cam_a=cama[slot_a], cam_b=camb[slot_b][safe],
+        valid=valid)
+
+
+def _tables(m: ms.MapState):
+    return (m.kf_R, m.kf_t, m.kf_xy, m.kf_desc, m.kf_sigma2, m.kf_cam,
+            m.kf_feat_valid, m.kf_obs, m.mp_pos, m.mp_valid)
+
+
+@jax.jit
+def _matched_pairs_body(m: ms.MapState, slot_a, slot_b) -> MatchedPairs:
+    """Match features of two keyframes of ONE map; landmark positions in
+    each keyframe's BODY frame plus the image observations.
+
+    (reference: loop detection matches via SearchByBoW then feeds matched
+    MapPoint pairs to Sim3Solver, LoopClosing.cc:781-832)
+    """
+    return _pairs_from_tables(_tables(m), _tables(m), slot_a, slot_b)
+
+
+@jax.jit
+def _matched_pairs_cross(m_a: ms.MapState, slot_a,
+                         m_b: ms.MapState, slot_b) -> MatchedPairs:
+    """Cross-map variant: KF a lives in map m_a, KF b in map m_b
+    (merge detection, reference: LoopClosing.cc merge candidates in
+    another Atlas map, 176-204)."""
+    return _pairs_from_tables(_tables(m_a), _tables(m_b), slot_a, slot_b)
+
+
+@jax.jit
+def cross_place_scores(desc_q, valid_q, m_b: ms.MapState):
+    """Place-recognition scores of a query descriptor bank against every
+    keyframe of ANOTHER map (merge candidate retrieval). Returns [K]."""
+    K, F = m_b.kf_obs.shape
+    dist = matcher.hamming_matrix(
+        desc_q, m_b.kf_desc.reshape(K * F, 256)).reshape(-1, K, F)
+    t_valid = m_b.kf_feat_valid & m_b.kf_valid[:, None]
+    dist = jnp.where(t_valid[None] & valid_q[:, None, None],
+                     dist, 1 << 20)
+    best = jnp.min(dist, axis=2)
+    return jnp.sum((best < matcher.TH_LOW).astype(jnp.int32), axis=0)
 
 
 @jax.jit
@@ -98,17 +149,46 @@ def _correct_map(m: ms.MapState, s_new, R_new, t_new):
 
 class LoopCloser:
     def __init__(self, vocab: voc.Vocabulary | None, max_kf: int,
-                 cfg: LoopConfig = LoopConfig(), seed: int = 100):
+                 cfg: LoopConfig = LoopConfig(), seed: int = 100,
+                 rig=None, inertial: bool = False):
         self.vocab = vocab            # optional BoW path
         self.cfg = cfg
         self.db = (kdb.allocate(max_kf, vocab.n_words)
                    if vocab is not None else None)
         self.key = jax.random.PRNGKey(seed)
         self.n_loops = 0
+        self.n_merges = 0
+        # rig enables reprojection verification (OptimizeSim3 analog);
+        # inertial switches correction to the 4DoF essential graph and
+        # locks scale (reference: bFixScale, LoopClosing.cc:1329)
+        self.rig = rig
+        self.inertial = inertial
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _verify_sim3(self, pairs: MatchedPairs, res):
+        """Projection verification + refinement of a RANSAC Sim3
+        (reference: SearchByProjection + OptimizeSim3 + 'verify vs
+        covisibles' acceptance, LoopClosing.cc:888-994). Returns the
+        refined Sim3Result-compatible tuple (s, R, t, n_inliers) or None
+        when the rig is unknown (RANSAC inliers stand alone)."""
+        if self.rig is None:
+            return None
+        from ..optim import sim3_refine
+        rig = self.rig
+        cam_a = jnp.clip(pairs.cam_a, 0, rig.params.shape[0] - 1)
+        cam_b = jnp.clip(pairs.cam_b, 0, rig.params.shape[0] - 1)
+        out = sim3_refine.refine_sim3(
+            res.s, res.R, res.t, pairs.p_a, pairs.p_b,
+            pairs.uv_a, pairs.uv_b, pairs.sigma2_a, pairs.sigma2_b,
+            pairs.valid & res.inlier, rig.kind,
+            rig.params[cam_a], rig.params[cam_b],
+            rig.R_cb[cam_a], rig.t_cb[cam_a],
+            rig.R_cb[cam_b], rig.t_cb[cam_b],
+            fix_scale=self.inertial)
+        return out
 
     def on_keyframe(self, m: ms.MapState, slot: int):
         """Detect and (if verified) correct a loop. Returns (m, closed).
@@ -149,15 +229,24 @@ class LoopCloser:
         cand_list = [int(c) for c, o in zip(np.asarray(top),
                                             np.asarray(ok)) if o]
         for cand in cand_list:
-            p_a, p_b, valid = _matched_pairs_body(
+            pairs = _matched_pairs_body(
                 m, jnp.asarray(slot), jnp.asarray(cand))
-            if int(valid.sum()) < cfg.min_sim3_inliers:
+            if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
                 continue
             res = sim3_mod.ransac_sim3(
-                self._next_key(), p_a, p_b, valid,
+                self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
+                fix_scale=self.inertial,
                 min_inliers=cfg.min_sim3_inliers)
             if not bool(res.success):
                 continue
+            # projection verification + OptimizeSim3-style refinement
+            ref = self._verify_sim3(pairs, res)
+            if ref is not None:
+                if int(ref.n_inliers) < cfg.min_sim3_inliers:
+                    continue
+                res = res._replace(s=ref.s, R=ref.R, t=ref.t,
+                                   inlier=ref.inlier,
+                                   n_inliers=ref.n_inliers)
             m = self._correct(m, slot, cand, res, cov)
             self.n_loops += 1
             return m, True
@@ -213,6 +302,93 @@ class LoopCloser:
 
         fixed = jnp.zeros((K,), bool).at[cand].set(True)
         node_valid = m.kf_valid
-        s_o, R_o, t_o, chi = pose_graph.optimize_pose_graph(
-            s0, R_cw, t_cw, edges, fixed, node_valid)
+        if self.inertial:
+            # inertial maps: gravity direction is observable — correct
+            # yaw + translation only (reference: OptimizeEssentialGraph4DoF
+            # dispatch for IMU maps, src/LoopClosing.cc:1329)
+            edges3 = pose_graph.PoseGraphEdgesSE3(
+                i=edges.i, j=edges.j, R=edges.R, t=edges.t,
+                weight=edges.weight, valid=edges.valid)
+            R_o, t_o, chi = pose_graph.optimize_pose_graph_4dof(
+                R_cw, t_cw, edges3, fixed, node_valid)
+            s_o = jnp.ones((K,))
+        else:
+            s_o, R_o, t_o, chi = pose_graph.optimize_pose_graph(
+                s0, R_cw, t_cw, edges, fixed, node_valid)
         return _correct_map(m, s_o, R_o, t_o)
+
+    # -- Atlas merge detection (reference: LoopClosing merge path,
+    # src/LoopClosing.cc:176-204 scale sanity + MergeLocal/MergeLocal2) --
+    def detect_merge(self, atlas, slot: int):
+        """Try to weld the CURRENT atlas map into an older map via a
+        verified cross-map Sim3.
+
+        On success the merged map replaces the older map, the current map
+        is dropped from the atlas, and (map_index, kf_offset, mp_offset)
+        is returned so the caller can remap its bookkeeping (the reference
+        migrates pointers in MergeLocal; slabs shift indices instead).
+        Returns None when no merge happened.
+        """
+        from ..slam_map import atlas as atlas_mod
+        from ..solvers import sim3 as sim3_mod
+
+        cfg = self.cfg
+        cur_id = atlas.current
+        m_cur = atlas.maps[cur_id]
+        q_desc = m_cur.kf_desc[slot]
+        q_valid = m_cur.kf_feat_valid[slot]
+        for other_id in range(len(atlas.maps)):
+            if other_id == cur_id:
+                continue
+            m_old = atlas.maps[other_id]
+            if int(m_old.n_kf) < 2:
+                continue
+            scores = cross_place_scores(q_desc, q_valid, m_old)
+            top = jax.lax.top_k(scores, 2)[1]
+            ok = scores[top] >= cfg.min_desc_matches
+            for cand, o in zip(np.asarray(top), np.asarray(ok)):
+                if not o:
+                    continue
+                cand = int(cand)
+                pairs = _matched_pairs_cross(
+                    m_cur, jnp.asarray(slot), m_old, jnp.asarray(cand))
+                if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
+                    continue
+                res = sim3_mod.ransac_sim3(
+                    self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
+                    fix_scale=self.inertial,
+                    min_inliers=cfg.min_sim3_inliers)
+                if not bool(res.success):
+                    continue
+                ref = self._verify_sim3(pairs, res)
+                if ref is not None:
+                    if int(ref.n_inliers) < cfg.min_sim3_inliers:
+                        continue
+                    res = res._replace(s=ref.s, R=ref.R, t=ref.t)
+                # scale sanity for inertial merges (reference: 0.9-1.1
+                # gate, LoopClosing.cc:176-204)
+                if self.inertial and not (0.9 < float(res.s) < 1.1):
+                    continue
+                # world Sim3 mapping current-map world -> old-map world:
+                # S_w = T_wb(cand) o S_ba o T_bw(slot)
+                one = jnp.ones(())
+                s1, R1, t1 = lie.sim3_compose(
+                    one, m_old.kf_R[cand], m_old.kf_t[cand],
+                    res.s, res.R, res.t)
+                si, Ri, ti = lie.sim3_inverse(
+                    one, m_cur.kf_R[slot], m_cur.kf_t[slot])
+                s_w, R_w, t_w = lie.sim3_compose(s1, R1, t1, si, Ri, ti)
+
+                kf_off = int(m_old.n_kf)
+                mp_off = int(m_old.n_mp)
+                merged, ok_m = atlas_mod.merge_maps(
+                    m_old, m_cur, s_w, R_w, t_w)
+                if not ok_m:
+                    continue
+                atlas.maps[other_id] = merged
+                atlas.maps.pop(cur_id)
+                atlas.current = (other_id if other_id < cur_id
+                                 else other_id - 1)
+                self.n_merges += 1
+                return atlas.current, kf_off, mp_off
+        return None

@@ -211,6 +211,10 @@ class MultiTrackerConfig:
     imu_buf: int = 256                 # max samples between keyframes
     imu_init_kfs: int = 8              # KFs before IMU initialization
     use_imu: bool = True
+    # frames to coast in LOST before abandoning the map and spawning a
+    # fresh one in the Atlas (reference: CreateMapInAtlas,
+    # src/Tracking.cc:1953-1968)
+    max_lost_frames: int = 20
 
 
 class MultiTracker:
@@ -222,15 +226,26 @@ class MultiTracker:
 
     def __init__(self, rig: RigParams, cfg: MultiTrackerConfig,
                  noise: pre_mod.ImuNoise | None = None, seed: int = 0,
-                 loop_closer=None):
+                 loop_closer=None, atlas=None):
         self.rig = rig
         self.cfg = cfg
         self.noise = noise or pre_mod.ImuNoise.from_sigmas(
             1.7e-4, 2e-3, 1.9e-5, 3e-3, cfg.imu_freq)
         self.loop_closer = loop_closer
+        self.atlas = atlas
         self.state = self.NOT_INITIALIZED
         CF = cfg.n_cams * cfg.orb.n_features
-        self.map = ms.allocate(cfg.max_kf, CF, cfg.max_mp)
+        if atlas is not None:
+            if not atlas.maps:
+                atlas.create_map(cfg.max_kf, CF, cfg.max_mp)
+            self.map = atlas.current_map
+            self.map_id = atlas.current
+        else:
+            self.map = ms.allocate(cfg.max_kf, CF, cfg.max_mp)
+            self.map_id = 0
+        self.lost_frames = 0
+        # preintegration chains of parked maps, keyed by atlas map index
+        self._parked_pre = {}
         self.key = jax.random.PRNGKey(seed)
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
@@ -328,6 +343,13 @@ class MultiTracker:
             n_in = int(n_in)
             if n_in < cfg.min_inliers_track:
                 self.state = self.LOST
+                self.lost_frames += 1
+                if (self.atlas is not None
+                        and self.lost_frames > cfg.max_lost_frames
+                        and self.n_kf >= 2):
+                    # park the map and start fresh (reference:
+                    # CreateMapInAtlas, src/Tracking.cc:1953-1968)
+                    self._spawn_new_map()
                 self._record(time)
                 self.last_time = time
                 return False
@@ -340,6 +362,7 @@ class MultiTracker:
             (t - self.t) / dt
         self.R, self.t = R, t
         self.state = self.OK
+        self.lost_frames = 0
 
         need_kf = (n_in < cfg.kf_min_inlier_frac
                    * max(self.ref_kf_inliers, 1)
@@ -364,20 +387,76 @@ class MultiTracker:
         t_ref = np.asarray(self.map.kf_t[ref])
         R_rel = R_ref.T @ np.asarray(self.R)
         t_rel = R_ref.T @ (np.asarray(self.t) - t_ref)
-        self.trajectory.append((time, ref, R_rel, t_rel))
+        self.trajectory.append((time, self.map_id, ref, R_rel, t_rel))
 
     def get_trajectory(self):
-        """Reconstruct (times, R [T,3,3], t [T,3]) vs the FINAL map."""
-        kf_R = np.asarray(self.map.kf_R)
-        kf_t = np.asarray(self.map.kf_t)
+        """Reconstruct (times, R [T,3,3], t [T,3]) vs the FINAL map(s)."""
+        maps = self.atlas.maps if self.atlas is not None else [self.map]
+        if self.atlas is not None:
+            self._sync_atlas()
+        kf_R = [np.asarray(m.kf_R) for m in maps]
+        kf_t = [np.asarray(m.kf_t) for m in maps]
         times, Rs, ts = [], [], []
-        for (tm, ref, R_rel, t_rel) in self.trajectory:
-            R = kf_R[ref] @ R_rel
-            t = kf_t[ref] + kf_R[ref] @ t_rel
+        for (tm, mid, ref, R_rel, t_rel) in self.trajectory:
+            R = kf_R[mid][ref] @ R_rel
+            t = kf_t[mid][ref] + kf_R[mid][ref] @ t_rel
             times.append(tm)
             Rs.append(R)
             ts.append(t)
         return np.asarray(times), np.stack(Rs), np.stack(ts)
+
+    # -- Atlas bookkeeping ---------------------------------------------------
+    def _sync_atlas(self):
+        if self.atlas is not None:
+            self.atlas.maps[self.map_id] = self.map
+
+    def _spawn_new_map(self):
+        """Park the current map + its preintegration chain; start fresh.
+        IMU re-initializes in the new map (the reference resets its
+        IMU-init flags in CreateMapInAtlas); the current bias estimate is
+        kept as the starting guess."""
+        cfg = self.cfg
+        self._sync_atlas()
+        self._parked_pre[self.map_id] = self.kf_pre
+        CF = cfg.n_cams * cfg.orb.n_features
+        self.map_id = self.atlas.create_map(cfg.max_kf, CF, cfg.max_mp)
+        self.map = self.atlas.current_map
+        self.state = self.NOT_INITIALIZED
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.v = jnp.zeros(3)
+        self.vel_R = jnp.eye(3)
+        self.vel_t = jnp.zeros(3)
+        self.imu_initialized = False
+        self.last_kf_slot = -1
+        self.last_kf_time = None
+        self.n_kf = 0
+        self.ref_kf_inliers = 0
+        self.lost_frames = 0
+        self.kf_pre = []
+        self._imu_kf = []
+
+    def _remap_after_merge(self, old_map_id, new_map_id, kf_off):
+        fixed = []
+        for (tm, mid, ref, R_rel, t_rel) in self.trajectory:
+            if mid == old_map_id:
+                fixed.append((tm, new_map_id, ref + kf_off, R_rel, t_rel))
+            else:
+                mid2 = mid - 1 if mid > old_map_id else mid
+                fixed.append((tm, mid2, ref, R_rel, t_rel))
+        self.trajectory = fixed
+        # weld preintegration chains: the parked (older) map's chain fills
+        # slots [0, kf_off); this map's chain follows (reference:
+        # MergeLocal2 keeps both temporal chains, src/LoopClosing.cc:1956)
+        parked = dict(self._parked_pre)
+        self._parked_pre = {}
+        for mid, pres in parked.items():
+            mid2 = mid - 1 if mid > old_map_id else mid
+            if mid2 == new_map_id:
+                chain = list(pres) + [None] * (kf_off - len(pres))
+                self.kf_pre = chain[:kf_off] + self.kf_pre
+            elif mid != old_map_id:
+                self._parked_pre[mid2] = pres
 
     def _initialize(self, bank, time):
         """Multi-camera init: stereo-triangulate the first frame directly
@@ -453,6 +532,28 @@ class MultiTracker:
 
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
+            # cross-map merge detection (reference: merge path of
+            # LoopClosing -> MergeLocal2 for inertial maps)
+            if self.atlas is not None and len(self.atlas.maps) > 1:
+                self._sync_atlas()
+                old_id = self.map_id
+                hit = self.loop_closer.detect_merge(self.atlas, slot)
+                if hit is not None:
+                    new_id, kf_off, _ = hit
+                    self.map = self.atlas.current_map
+                    self._remap_after_merge(old_id, new_id, kf_off)
+                    self.map_id = new_id
+                    slot = slot + kf_off
+                    self.last_kf_slot = slot
+                    self.n_kf = int(self.map.n_kf)
+                    # welding BA over the junction
+                    if self.imu_initialized:
+                        self._vi_local_ba(slot)
+                    else:
+                        self.map, _ = mono.local_ba_step(
+                            self.map, jnp.asarray(slot), self.rig.kind,
+                            self.rig, window=cfg.ba_window)
+                    self._sync_atlas()
 
         self.R = self.map.kf_R[slot]
         self.t = self.map.kf_t[slot]

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..io import serialization, settings as settings_mod, trajectory
+from ..slam_map import atlas as atlas_mod
 from ..utils.timing import StageTimer
 from . import loop_closing, multi_tracking, tracking
 
@@ -66,18 +67,21 @@ class System:
                 orb=s["orb"], use_imu=inertial,
                 imu_freq=s["imu_frequency"],
                 **overrides)
-            lc = (loop_closing.LoopCloser(None, cfg.max_kf)
+            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig,
+                                          inertial=inertial)
                   if enable_loop_closing else None)
             self.tracker = multi_tracking.MultiTracker(
-                rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc)
+                rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc,
+                atlas=atlas_mod.Atlas())
         else:
             cfg = tracking.TrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 orb=s["orb"], **overrides)
-            lc = (loop_closing.LoopCloser(None, cfg.max_kf)
+            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig)
                   if enable_loop_closing else None)
             self.tracker = tracking.Tracker(rig, cfg, seed=seed,
-                                            loop_closer=lc)
+                                            loop_closer=lc,
+                                            atlas=atlas_mod.Atlas())
         self.loop_closer = lc
         self.cfg = cfg
         self._shutdown = False

@@ -498,6 +498,10 @@ class TrackerConfig:
     # reference spawns a RunGlobalBundleAdjustment thread, LoopClosing.cc:1372)
     gba_window: Optional[int] = 24
     init_min_matches: int = 80
+    # frames to coast in LOST (relocalization attempts) before abandoning
+    # the map and spawning a fresh one in the Atlas (reference:
+    # CreateMapInAtlas on persistent loss, src/Tracking.cc:1953-1968)
+    max_lost_frames: int = 20
 
 
 class Tracker:
@@ -509,12 +513,23 @@ class Tracker:
     LOST = 2
 
     def __init__(self, rig: RigParams, cfg: TrackerConfig,
-                 seed: int = 0, loop_closer=None):
+                 seed: int = 0, loop_closer=None, atlas=None):
         self.rig = rig
         self.cfg = cfg
         self.loop_closer = loop_closer   # optional LoopCloser hook
+        self.atlas = atlas               # optional multi-map Atlas
         self.state = self.NOT_INITIALIZED
-        self.map = ms.allocate(cfg.max_kf, cfg.orb.n_features, cfg.max_mp)
+        if atlas is not None:
+            if not atlas.maps:
+                atlas.create_map(cfg.max_kf, cfg.orb.n_features,
+                                 cfg.max_mp)
+            self.map = atlas.current_map
+            self.map_id = atlas.current
+        else:
+            self.map = ms.allocate(cfg.max_kf, cfg.orb.n_features,
+                                   cfg.max_mp)
+            self.map_id = 0
+        self.lost_frames = 0
         self.key = jax.random.PRNGKey(seed)
         self._init_feats = None
         self._init_img_time = None
@@ -651,8 +666,17 @@ class Tracker:
                 self.R, self.t = R_r, t_r
                 self.vel_R = jnp.eye(3)
                 self.vel_t = jnp.zeros(3)
+                self.lost_frames = 0
                 self.state = self.OK
             else:
+                self.lost_frames += 1
+                if (self.atlas is not None
+                        and self.lost_frames > cfg.max_lost_frames
+                        and self.n_kf >= 2):
+                    # abandon the map: park it in the Atlas and start a
+                    # fresh one; merge detection re-joins them later
+                    # (reference: CreateMapInAtlas, Tracking.cc:1953-1968)
+                    self._spawn_new_map()
                 self._record(time)
                 return False
 
@@ -692,6 +716,7 @@ class Tracker:
         self.R_prev, self.t_prev = self.R, self.t
         self.R, self.t = R, t
         self.state = self.OK
+        self.lost_frames = 0
 
         # landmark statistics
         m = self.map
@@ -716,18 +741,57 @@ class Tracker:
         t_ref = np.asarray(self.map.kf_t[ref])
         R_rel = R_ref.T @ np.asarray(self.R)
         t_rel = R_ref.T @ (np.asarray(self.t) - t_ref)
-        self.trajectory.append((time, ref, R_rel, t_rel))
+        self.trajectory.append((time, self.map_id, ref, R_rel, t_rel))
 
     def get_trajectory(self):
-        """(times, R [T,3,3], t [T,3]) replayed against the FINAL map."""
-        kf_R = np.asarray(self.map.kf_R)
-        kf_t = np.asarray(self.map.kf_t)
+        """(times, R [T,3,3], t [T,3]) replayed against the FINAL map(s)."""
+        maps = self.atlas.maps if self.atlas is not None else [self.map]
+        if self.atlas is not None:
+            self._sync_atlas()
+        kf_R = [np.asarray(m.kf_R) for m in maps]
+        kf_t = [np.asarray(m.kf_t) for m in maps]
         times, Rs, ts = [], [], []
-        for (tm, ref, R_rel, t_rel) in self.trajectory:
+        for (tm, mid, ref, R_rel, t_rel) in self.trajectory:
             times.append(tm)
-            Rs.append(kf_R[ref] @ R_rel)
-            ts.append(kf_t[ref] + kf_R[ref] @ t_rel)
+            Rs.append(kf_R[mid][ref] @ R_rel)
+            ts.append(kf_t[mid][ref] + kf_R[mid][ref] @ t_rel)
         return np.asarray(times), np.stack(Rs), np.stack(ts)
+
+    # -- Atlas bookkeeping ---------------------------------------------------
+    def _sync_atlas(self):
+        if self.atlas is not None:
+            self.atlas.maps[self.map_id] = self.map
+
+    def _spawn_new_map(self):
+        """Park the current map and start tracking into a fresh one."""
+        cfg = self.cfg
+        self._sync_atlas()
+        self.map_id = self.atlas.create_map(
+            cfg.max_kf, cfg.orb.n_features, cfg.max_mp)
+        self.map = self.atlas.current_map
+        self.state = self.NOT_INITIALIZED
+        self._init_feats = None
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.vel_R = jnp.eye(3)
+        self.vel_t = jnp.zeros(3)
+        self.last_kf_slot = -1
+        self.n_kf = 0
+        self.ref_kf_inliers = 0
+        self.lost_frames = 0
+
+    def _remap_after_merge(self, old_map_id, new_map_id, kf_off):
+        """Fix trajectory references after the current map was welded into
+        an older map (slots shifted by kf_off; maps after the dropped one
+        shifted down by one)."""
+        fixed = []
+        for (tm, mid, ref, R_rel, t_rel) in self.trajectory:
+            if mid == old_map_id:
+                fixed.append((tm, new_map_id, ref + kf_off, R_rel, t_rel))
+            else:
+                mid2 = mid - 1 if mid > old_map_id else mid
+                fixed.append((tm, mid2, ref, R_rel, t_rel))
+        self.trajectory = fixed
 
     def _insert_keyframe(self, feats, time, feat_mp, n_in):
         cfg = self.cfg
@@ -765,6 +829,26 @@ class Tracker:
                 self.map, _ = local_ba_step(
                     self.map, jnp.asarray(slot), self.rig.kind, self.rig,
                     window=(cfg.gba_window or cfg.ba_window))
+            # cross-map merge detection (reference: LoopClosing merge path
+            # MergeLocal, src/LoopClosing.cc:1381)
+            if self.atlas is not None and len(self.atlas.maps) > 1:
+                self._sync_atlas()
+                old_id = self.map_id
+                hit = self.loop_closer.detect_merge(self.atlas, slot)
+                if hit is not None:
+                    new_id, kf_off, _ = hit
+                    self.map = self.atlas.current_map
+                    self._remap_after_merge(old_id, new_id, kf_off)
+                    self.map_id = new_id
+                    slot = slot + kf_off
+                    self.last_kf_slot = slot
+                    self.n_kf = int(self.map.n_kf)
+                    # welding BA over the junction (reference: MergeLocal's
+                    # welding bundle adjustment)
+                    self.map, _ = local_ba_step(
+                        self.map, jnp.asarray(slot), self.rig.kind,
+                        self.rig, window=(cfg.gba_window or cfg.ba_window))
+                    self._sync_atlas()
         # refresh current pose from the (possibly corrected) map
         self.R = self.map.kf_R[slot]
         self.t = self.map.kf_t[slot]
