@@ -103,3 +103,50 @@ def load_euroc(root: str, cams=("cam0",), imu: str = "imu0",
             loader = None
     return Sequence(cam_dirs=cam_dirs, cam_files=cam_files,
                     cam_times=times0, imu=imu_arr, _loader=loader)
+
+
+def load_tumvi(root: str, cams=("cam0",), imu: str = "imu0",
+               use_native: bool = True) -> Sequence:
+    """Load a TUM-VI sequence (same mav0 layout as EuRoC).
+
+    (reference: Examples/Monocular-Inertial/mono_inertial_tum_vi.cc — the
+    TUM-VI release ships EuRoC-format directories: mav0/cam0/data + csv,
+    mav0/imu0/data.csv with ns timestamps; only the calibration — 512x512
+    fisheye KannalaBrandt8 — differs, which lives in the yaml settings.)
+    """
+    return load_euroc(root, cams=cams, imu=imu, use_native=use_native)
+
+
+def load_kitti(root: str, cams=("image_0",),
+               use_native: bool = True) -> Sequence:
+    """Load a KITTI odometry sequence directory.
+
+    Layout: <root>/times.txt (seconds, one per line) and
+    <root>/image_0/000000.png ... (image_1 = right grayscale camera).
+    (reference: Examples/Stereo/stereo_kitti.cc LoadImages — times.txt +
+    zero-padded 6-digit frame files; KITTI has no IMU in the odometry
+    benchmark, so `imu` is empty.)
+    """
+    with open(os.path.join(root, "times.txt")) as f:
+        times = np.asarray([float(line) for line in f if line.strip()],
+                           np.float64)
+    cam_dirs, cam_files = [], []
+    for c in cams:
+        d = os.path.join(root, c)
+        files = sorted(fn for fn in os.listdir(d)
+                       if fn.endswith((".png", ".jpg", ".pgm")))
+        if len(files) < len(times):
+            raise ValueError(
+                f"{d}: {len(files)} images < {len(times)} timestamps")
+        cam_dirs.append(d)
+        cam_files.append(files[:len(times)])
+    loader = None
+    if use_native:
+        try:
+            from . import native_loader
+            loader = native_loader.NativeDecoder()
+        except Exception:
+            loader = None
+    return Sequence(cam_dirs=cam_dirs, cam_files=cam_files,
+                    cam_times=times, imu=np.zeros((0, 7), np.float64),
+                    _loader=loader)

@@ -75,6 +75,102 @@ def epipolar_score(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
     return jnp.sum(c1 + c2, axis=-1), inlier
 
 
+def homography_from_4pt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """4-point DLT homography, batched over hypothesis sets.
+
+    x1, x2: [..., 4, 2] normalized coords. Returns H [..., 3, 3] with
+    x2 ~ H x1 (reference: TwoViewReconstruction::ComputeH21).
+    """
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)           # [..., 4, 3]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    z = jnp.zeros_like(p1)
+    # rows: [-p1, 0, u2*p1] and [0, -p1, v2*p1]
+    r1 = jnp.concatenate([-p1, z, u2[..., None] * p1], axis=-1)
+    r2 = jnp.concatenate([z, -p1, v2[..., None] * p1], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)              # [..., 8, 9]
+    h = _smallest_eigvec(jnp.swapaxes(A, -1, -2) @ A)
+    return h.reshape(*h.shape[:-1], 3, 3)
+
+
+def homography_score(H: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
+                     focal: float, sigma: float = 1.0):
+    """Symmetric transfer-error score (reference: CheckHomography).
+
+    H: [S, 3, 3]; x1, x2: [N, 2]. th = 5.991 (2 dof) both directions.
+    """
+    ones = jnp.ones((x1.shape[0], 1), x1.dtype)
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    Hinv = jnp.linalg.inv(H + 1e-12 * jnp.eye(3, dtype=H.dtype))
+    q2 = jnp.einsum("sij,nj->sni", H, p1)               # x1 -> image 2
+    q1 = jnp.einsum("sij,nj->sni", Hinv, p2)            # x2 -> image 1
+    f2 = focal * focal
+    d2_2 = jnp.sum((q2[..., :2] / jnp.maximum(jnp.abs(q2[..., 2:]), 1e-9)
+                    * jnp.sign(q2[..., 2:]) - x2[None]) ** 2, -1) * f2
+    d2_1 = jnp.sum((q1[..., :2] / jnp.maximum(jnp.abs(q1[..., 2:]), 1e-9)
+                    * jnp.sign(q1[..., 2:]) - x1[None]) ** 2, -1) * f2
+    s2 = sigma * sigma
+    th = 5.991
+    c1 = jnp.where(d2_1 / s2 < th, th - d2_1 / s2, 0.0)
+    c2 = jnp.where(d2_2 / s2 < th, th - d2_2 / s2, 0.0)
+    inlier = (d2_1 / s2 < th) & (d2_2 / s2 < th)
+    return jnp.sum(c1 + c2, axis=-1), inlier
+
+
+def decompose_H(H: jnp.ndarray):
+    """Faugeras decomposition: H [3,3] -> 8 candidate (R [8,3,3], t [8,3]).
+
+    (reference: TwoViewReconstruction::ReconstructH — SVD-based Faugeras
+    SVD 8-motion enumeration; t is returned unit-norm like the E path.)
+    """
+    U, d, Vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.clip((d1 * d1 - d2 * d2) / denom, 0.0, None))
+    aux3 = jnp.sqrt(jnp.clip((d2 * d2 - d3 * d3) / denom, 0.0, None))
+    x1v = jnp.asarray([aux1, aux1, -aux1, -aux1])
+    x3v = jnp.asarray([aux3, -aux3, aux3, -aux3])
+
+    Rs, ts = [], []
+    # case d' = +d2
+    aux_st = jnp.sqrt(jnp.clip(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0, None)) \
+        / jnp.maximum((d1 + d3) * d2, 1e-12)
+    ct = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    st_signs = jnp.asarray([1.0, -1.0, -1.0, 1.0])
+    for i in range(4):
+        st = st_signs[i] * aux_st
+        Rp = jnp.asarray([[1.0, 0.0, 0.0],
+                          [0.0, 1.0, 0.0],
+                          [0.0, 0.0, 1.0]], H.dtype)
+        Rp = Rp.at[0, 0].set(ct).at[0, 2].set(-st) \
+            .at[2, 0].set(st).at[2, 2].set(ct)
+        tp = jnp.asarray([x1v[i], 0.0, -x3v[i]]) * (d1 - d3)
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+    # case d' = -d2
+    aux_sp = jnp.sqrt(jnp.clip(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0, None)) \
+        / jnp.maximum((d1 - d3) * d2, 1e-12)
+    cp = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    for i in range(4):
+        sp = st_signs[i] * aux_sp
+        Rp = jnp.asarray([[1.0, 0.0, 0.0],
+                          [0.0, -1.0, 0.0],
+                          [0.0, 0.0, -1.0]], H.dtype)
+        Rp = Rp.at[0, 0].set(cp).at[0, 2].set(sp) \
+            .at[2, 0].set(sp).at[2, 2].set(-cp)
+        tp = jnp.asarray([x1v[i], 0.0, x3v[i]]) * (d1 + d3)
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+    Rs = jnp.stack(Rs)
+    ts = jnp.stack(ts)
+    tn = jnp.linalg.norm(ts, axis=-1, keepdims=True)
+    return Rs, ts / jnp.maximum(tn, 1e-12)
+
+
 def decompose_E(E: jnp.ndarray):
     """E [3,3] -> 4 candidate (R [4,3,3], t [4,3]) with unit-norm t."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -142,22 +238,26 @@ class TwoViewResult(NamedTuple):
 def reconstruct(key, x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
                 focal: float, sigma: float = 1.0, n_hyp: int = 256,
                 min_inliers: int = 50,
-                min_triangulated_frac: float = 0.5) -> TwoViewResult:
-    """Full monocular two-view initialization (E-based RANSAC).
+                min_triangulated_frac: float = 0.5,
+                use_homography: bool = True) -> TwoViewResult:
+    """Full monocular two-view initialization: parallel E + H RANSAC with
+    model selection by score ratio.
 
     Args:
       key: PRNG key (determinism: same key -> same result).
       x1, x2: [N, 2] matched normalized coordinates; valid [N].
-    (reference: TwoViewReconstruction::Reconstruct; the homography branch is
-    scored implicitly — planar scenes still yield a valid E here, with the
-    cheirality vote disambiguating. A dedicated H path can be added for
-    pure-rotation rejection.)
+    (reference: TwoViewReconstruction::Reconstruct — FindHomography and
+    FindFundamental in two threads, RH = SH/(SH+SF) > 0.5 selects the
+    homography, then ReconstructH/ReconstructF,
+    src/TwoViewReconstruction.cc:48-120. The two thread bodies become two
+    batched RANSACs on one device; selection is a where().)
     """
     n = x1.shape[0]
+    key_e, key_h = jax.random.split(key)
     # sample 8-point subsets among valid correspondences: draw from a
     # weighted categorical (invalid get ~zero probability)
     logits = jnp.where(valid, 0.0, -1e9)
-    idx = jax.random.categorical(key, logits[None, None, :],
+    idx = jax.random.categorical(key_e, logits[None, None, :],
                                  shape=(n_hyp, 8))
     E = essential_from_8pt(x1[idx], x2[idx])
     score, inl = epipolar_score(E, x1, x2, focal, sigma)
@@ -182,13 +282,48 @@ def reconstruct(key, x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
     sc_ref, inl_ref = epipolar_score(E_ref[None], x1, x2, focal, sigma)
     use_ref = sc_ref[0] >= score[best]
     E_best = jnp.where(use_ref, E_ref, E[best])
-    inlier = jnp.where(use_ref, inl_ref[0] & valid, inlier)
+    inlier_e = jnp.where(use_ref, inl_ref[0] & valid, inlier)
+    score_e = jnp.maximum(sc_ref[0], score[best])
 
-    Rs, ts = decompose_E(E_best)
+    Rs_e, ts_e = decompose_E(E_best)
+
+    if use_homography:
+        # --- homography branch ---
+        idx4 = jax.random.categorical(key_h, logits[None, None, :],
+                                      shape=(n_hyp, 4))
+        H = homography_from_4pt(x1[idx4], x2[idx4])
+        score_h_all, inl_h = homography_score(H, x1, x2, focal, sigma)
+        score_h_all = score_h_all - jnp.where(
+            jnp.any(~valid[idx4], axis=-1), 1e9, 0.0)
+        inl_h = inl_h & valid[None, :]
+        best_h = jnp.argmax(score_h_all)
+        inlier_h = inl_h[best_h]
+        score_h = score_h_all[best_h]
+        Rs_h, ts_h = decompose_H(H[best_h])
+
+        # model selection (reference: RH = SH/(SH+SF), H if RH > 0.50)
+        ratio = score_h / jnp.maximum(score_h + score_e, 1e-9)
+        use_h = ratio > 0.50
+
+        inlier = jnp.where(use_h, inlier_h, inlier_e)
+        Rs = jnp.concatenate([Rs_e, Rs_h])
+        ts = jnp.concatenate([ts_e, ts_h])
+        model_mask = jnp.concatenate([
+            jnp.full((4,), ~use_h), jnp.full((8,), use_h)])
+        # H's 8 motions contain near-duplicates; reference requires a
+        # clearer winner there (0.75 vs 0.9 second-best gate)
+        second_gate = jnp.where(use_h, 0.75, 0.9)
+    else:
+        inlier = inlier_e
+        Rs, ts = Rs_e, ts_e
+        model_mask = jnp.ones((4,), bool)
+        second_gate = jnp.asarray(0.9)
+
     outs = jax.vmap(lambda R, t: _triangulate_and_check(
         R, t, x1, x2, focal, sigma))(Rs, ts)
     pts_all, good_all, _, _ = outs
     n_good = jnp.sum((good_all & inlier[None, :]).astype(jnp.int32), axis=1)
+    n_good = jnp.where(model_mask, n_good, -1)
     k = jnp.argmax(n_good)
     n_best = n_good[k]
     n_second = jnp.sort(n_good)[-2]
@@ -198,7 +333,7 @@ def reconstruct(key, x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
                & (n_best.astype(jnp.float32)
                   > min_triangulated_frac * n_inl.astype(jnp.float32))
                & (n_second.astype(jnp.float32)
-                  < 0.9 * n_best.astype(jnp.float32)))
+                  < second_gate * n_best.astype(jnp.float32)))
     return TwoViewResult(success=success, R=Rs[k], t=ts[k],
                          points=pts_all[k],
                          is_good=good_all[k] & inlier)

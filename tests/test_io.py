@@ -165,3 +165,49 @@ class TestEuRoCLoader:
         imu = seq.imu_between(10.0, 10.02)
         assert len(imu) == 4
         np.testing.assert_allclose(imu[0, 1:4], [0.1, 0.2, 0.3])
+
+
+class TestKittiLoader:
+    def test_load_sequence(self, tmp_path):
+        """KITTI odometry layout: times.txt + image_0/000000.png
+        (reference: Examples/Stereo/stereo_kitti.cc LoadImages)."""
+        rng = np.random.default_rng(4)
+        seq_dir = tmp_path / "00"
+        for cam in ["image_0", "image_1"]:
+            (seq_dir / cam).mkdir(parents=True)
+            for i in range(4):
+                img = rng.integers(0, 255, (24, 30), np.uint8)
+                Image.fromarray(img, "L").save(
+                    str(seq_dir / cam / f"{i:06d}.png"))
+        with open(seq_dir / "times.txt", "w") as f:
+            for i in range(4):
+                f.write(f"{i * 0.1:.6e}\n")
+
+        seq = datasets.load_kitti(str(seq_dir), cams=("image_0", "image_1"))
+        assert seq.n_frames == 4
+        assert seq.n_cams == 2
+        fr = seq.frame(2)
+        assert fr.shape == (2, 24, 30)
+        np.testing.assert_allclose(seq.cam_times,
+                                   [0.0, 0.1, 0.2, 0.3], atol=1e-9)
+        assert seq.imu_between(0.0, 1.0).shape == (0, 7)
+
+    def test_tumvi_alias(self, tmp_path):
+        """TUM-VI ships the EuRoC mav0 layout; the loader delegates."""
+        rng = np.random.default_rng(5)
+        mav = tmp_path / "room1" / "mav0"
+        (mav / "cam0" / "data").mkdir(parents=True)
+        with open(mav / "cam0" / "data.csv", "w") as f:
+            for i in range(2):
+                ns = int(1e9 * (5 + i * 0.05))
+                name = f"{ns}.png"
+                img = rng.integers(0, 255, (16, 16), np.uint8)
+                Image.fromarray(img, "L").save(
+                    str(mav / "cam0" / "data" / name))
+                f.write(f"{ns},{name}\n")
+        (mav / "imu0").mkdir(parents=True)
+        with open(mav / "imu0" / "data.csv", "w") as f:
+            f.write(f"{int(5e9)},0.0,0.0,0.0,0.0,0.0,9.81\n")
+        seq = datasets.load_tumvi(str(tmp_path / "room1"))
+        assert seq.n_frames == 2
+        assert seq.frame(0).shape == (1, 16, 16)

@@ -138,3 +138,68 @@ class TestSim3:
                                jnp.ones(100, bool), fix_scale=True)
         assert float(res.s) == 1.0
         assert bool(res.success)
+
+
+class TestHomographyBranch:
+    """Homography model of two-view init (reference:
+    TwoViewReconstruction::FindHomography/ReconstructH,
+    src/TwoViewReconstruction.cc:48-120)."""
+
+    def _motion(self):
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.02, 0.25, 0.01])))
+        t = np.array([0.8, 0.05, 0.1])
+        return R, t / np.linalg.norm(t)
+
+    def test_decompose_h_contains_truth(self):
+        R, t = self._motion()
+        n, d = np.array([0.15, -0.1, 1.0]), 5.0
+        n = n / np.linalg.norm(n)
+        H = R + np.outer(t, n) / d
+        Rs, ts = two_view.decompose_H(jnp.asarray(H, jnp.float32))
+        r_err = np.linalg.norm(np.asarray(Rs) - R, axis=(1, 2))
+        t_dot = np.abs(np.asarray(ts) @ t)
+        hit = (r_err < 1e-3) & (t_dot > 0.999)
+        assert hit.any(), (r_err, t_dot)
+
+    def test_planar_scene_no_false_init(self):
+        """Pure planar two-view geometry carries the twisted-pair
+        ambiguity: the solver must refuse (like the reference's
+        similar-candidate gate) or return the TRUE motion — never
+        succeed with a wrong one."""
+        rng = np.random.default_rng(7)
+        R, t = self._motion()
+        N = 200
+        xy = rng.uniform(-2, 2, (N, 2))
+        z = 5 + 0.6 * xy[:, 0] - 0.4 * xy[:, 1]
+        pts = np.concatenate([xy, z[:, None]], axis=1)
+        x1 = pts[:, :2] / pts[:, 2:]
+        p2 = pts @ R.T + t
+        x2 = p2[:, :2] / p2[:, 2:]
+        noise = 0.5 / 380
+        res = two_view.reconstruct(
+            jax.random.PRNGKey(0),
+            jnp.asarray(x1 + rng.normal(0, noise, x1.shape), jnp.float32),
+            jnp.asarray(x2 + rng.normal(0, noise, x2.shape), jnp.float32),
+            jnp.ones(N, bool), focal=380.0)
+        if bool(res.success):
+            assert abs(float(jnp.dot(res.t, jnp.asarray(t, jnp.float32)))) \
+                > 0.95
+
+    def test_general_scene_with_h_branch_enabled(self):
+        rng = np.random.default_rng(3)
+        R, t = self._motion()
+        N = 200
+        pts = rng.uniform([-2, -2, 3], [2, 2, 9], (N, 3))
+        x1 = pts[:, :2] / pts[:, 2:]
+        p2 = pts @ R.T + t
+        x2 = p2[:, :2] / p2[:, 2:]
+        noise = 0.5 / 380
+        res = two_view.reconstruct(
+            jax.random.PRNGKey(0),
+            jnp.asarray(x1 + rng.normal(0, noise, x1.shape), jnp.float32),
+            jnp.asarray(x2 + rng.normal(0, noise, x2.shape), jnp.float32),
+            jnp.ones(N, bool), focal=380.0, use_homography=True)
+        assert bool(res.success)
+        assert np.linalg.norm(np.asarray(res.R) - R) < 0.05
+        assert abs(float(jnp.dot(res.t, jnp.asarray(t, jnp.float32)))) \
+            > 0.99
