@@ -85,3 +85,53 @@ def distributed_bundle_adjust(mesh: Mesh, state: ba.BAState,
         out_specs=(state_spec, P(axis), rep))
     st, inl, chi = fn(state, obs_p, pose_fixed, point_fixed, edges, prior)
     return st, inl[:o_orig], chi
+
+
+def distributed_global_ba(mesh: Mesh, state: ba.BAState,
+                          obs: ba.BAObservations, rig,
+                          pose_fixed, point_fixed=None,
+                          edges=None, prior=None, prior_idx: int = 0,
+                          stages=(5, 10), cg_iters: int = 24,
+                          axis: str = "obs"):
+    """Atlas-scale global BA sharded over the mesh (the BASELINE.json
+    north-star workload: distributed Schur reduction over ICI).
+
+    Observations are sharded; keyframe/landmark state is replicated. Each
+    device evaluates residual/Jacobian terms and gather/scatter matvec
+    passes for its observation shard; one psum per CG matvec reduces a
+    [K, D] vector over ICI (see optim/global_ba.py). The reduced solve
+    itself (PCG iterations) is replicated arithmetic on identical psummed
+    operands, so all devices walk the same trajectory deterministically.
+
+    Returns (state, obs_inlier (original length), chi).
+    """
+    from ..optim import global_ba
+
+    n_dev = mesh.devices.size
+    o_orig = obs.kf.shape[0]
+    obs_p = _pad_obs(obs, n_dev)
+
+    obs_spec = ba.BAObservations(
+        kf=P(axis), mp=P(axis), cam=P(axis), uv=P(axis),
+        sigma2=P(axis), valid=P(axis))
+    rep = P()
+
+    def run(state, obs_shard, pose_fixed, point_fixed, edges, prior):
+        return global_ba.global_bundle_adjust(
+            state, obs_shard, rig, pose_fixed, point_fixed=point_fixed,
+            edges=edges, prior=prior, prior_idx=prior_idx,
+            stages=stages, cg_iters=cg_iters, psum_axis=axis)
+
+    state_spec = jax.tree.map(lambda _: rep, state)
+    edges_spec = None if edges is None else jax.tree.map(lambda _: rep,
+                                                         edges)
+    prior_spec = None if prior is None else jax.tree.map(lambda _: rep,
+                                                         prior)
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(state_spec, obs_spec, rep,
+                  rep if point_fixed is not None else None,
+                  edges_spec, prior_spec),
+        out_specs=(state_spec, P(axis), rep))
+    st, inl, chi = fn(state, obs_p, pose_fixed, point_fixed, edges, prior)
+    return st, inl[:o_orig], chi

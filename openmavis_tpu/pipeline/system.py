@@ -118,6 +118,19 @@ class System:
         synchronous)."""
         self._shutdown = True
 
+    def run_global_ba(self):
+        """Whole-map GBA over the current map (reference:
+        LoopClosing::RunGlobalBundleAdjustment — the background GBA thread
+        becomes an explicit call; matrix-free Schur+PCG on device).
+        Returns the final chi2."""
+        with self.timer.stage("gba"):
+            m, chi = tracking.global_ba_step(
+                self.tracker.map, self.tracker.rig.kind, self.tracker.rig)
+            self.tracker.map = m
+            if getattr(self.tracker, "atlas", None) is not None:
+                self.tracker._sync_atlas()
+        return float(chi)
+
     # -- persistence (reference System.h:141-204) --------------------------
     def save_trajectory_tum(self, path: str):
         times, R, t = self.tracker.get_trajectory()

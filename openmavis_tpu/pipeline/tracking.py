@@ -471,6 +471,46 @@ def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
     return m, chi
 
 
+@partial(jax.jit, static_argnames=("rig_kind",))
+def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
+    """Whole-map bundle adjustment via the matrix-free Schur+PCG path.
+
+    (reference: LoopClosing::RunGlobalBundleAdjustment ->
+    Optimizer::GlobalBundleAdjustemnt, src/LoopClosing.cc:2351,
+    src/Optimizer.cc:29 — here one jitted program over ALL keyframes and
+    landmarks; first two keyframes fix the gauge.)
+    """
+    from ..optim import global_ba
+
+    K, F = m.kf_obs.shape
+    kf_local = jnp.repeat(jnp.arange(K), F)
+    feat = jnp.tile(jnp.arange(F), K)
+    mp = m.kf_obs[kf_local, feat]
+    valid = ((mp >= 0) & m.kf_feat_valid[kf_local, feat]
+             & m.kf_valid[kf_local])
+    mp_safe = jnp.where(valid, mp, 0)
+    valid = valid & m.mp_valid[mp_safe]
+    obs = ba.BAObservations(
+        kf=kf_local, mp=mp_safe, cam=m.kf_cam[kf_local, feat],
+        uv=m.kf_xy[kf_local, feat], sigma2=m.kf_sigma2[kf_local, feat],
+        valid=valid)
+    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
+                        ba=m.kf_ba, points=m.mp_pos)
+    fixed = (jnp.arange(K) < 2) | ~m.kf_valid
+    M = m.mp_pos.shape[0]
+    observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    state, inlier, chi = global_ba.global_bundle_adjust(
+        state0, obs, rig, fixed, point_fixed=~observed,
+        stages=(5, 8), cg_iters=32)
+    m = m._replace(
+        kf_R=jnp.where(m.kf_valid[:, None, None], state.R, m.kf_R),
+        kf_t=jnp.where(m.kf_valid[:, None], state.t, m.kf_t),
+        mp_pos=jnp.where(observed[:, None], state.points, m.mp_pos),
+        kf_obs=m.kf_obs.at[kf_local, feat].set(
+            jnp.where(valid & ~inlier, -1, m.kf_obs[kf_local, feat])))
+    return m, chi
+
+
 # ---------------------------------------------------------------------------
 # host-side tracker
 # ---------------------------------------------------------------------------
