@@ -46,10 +46,12 @@ class BlobWorld:
 
 def render(world: BlobWorld, kind: int, params: np.ndarray,
            R_cw: np.ndarray, t_cw: np.ndarray, w: int, h: int,
-           base: float = 30.0) -> np.ndarray:
+           base: float = 30.0, with_depth: bool = False):
     """Render one camera view: [h, w] float32 image.
 
     R_cw, t_cw: camera-from-world (p_c = R_cw p_w + t_cw).
+    With `with_depth`, also returns a [h, w] z-depth map (0 = no surface)
+    for RGB-D pipeline tests.
     Pure numpy (host-side data generation; not a perf path).
     """
     p_c = world.points @ R_cw.T + t_cw
@@ -68,16 +70,28 @@ def render(world: BlobWorld, kind: int, params: np.ndarray,
     ok = ((uv[:, 0] > R + 1) & (uv[:, 0] < w - R - 2)
           & (uv[:, 1] > R + 1) & (uv[:, 1] < h - R - 2))
     uv, inten, rad = uv[ok], inten[ok], rad[ok]
+    z = p_c[ok, 2]
     xi = np.round(uv[:, 0]).astype(int)
     yi = np.round(uv[:, 1]).astype(int)
     fy, fx = np.mgrid[-R:R + 1, -R:R + 1]
+    dmap = np.zeros((h, w), np.float32) if with_depth else None
     for k in range(len(xi)):
         dx = uv[k, 0] - xi[k]
         dy = uv[k, 1] - yi[k]
         g = np.exp(-(((fx - dx) ** 2 + (fy - dy) ** 2)
                      / (2 * (rad[k] * 0.6) ** 2)))
-        img[yi[k] - R:yi[k] + R + 1, xi[k] - R:xi[k] + R + 1] += inten[k] * g
-    return np.clip(img, 0, 255)
+        ys, xs = slice(yi[k] - R, yi[k] + R + 1), \
+            slice(xi[k] - R, xi[k] + R + 1)
+        img[ys, xs] += inten[k] * g
+        if with_depth:
+            patch = dmap[ys, xs]
+            hit = g > 0.05
+            patch[hit & (patch == 0)] = z[k]
+            patch[hit & (patch > 0)] = np.minimum(patch[hit & (patch > 0)],
+                                                  z[k])
+            dmap[ys, xs] = patch
+    img = np.clip(img, 0, 255)
+    return (img, dmap) if with_depth else img
 
 
 def orbit_trajectory(n_frames: int, radius: float = 6.0,

@@ -30,6 +30,7 @@ class Sensor(Enum):
     IMU_MONOCULAR = 3
     IMU_STEREO = 4
     IMU_MULTI = 5       # the flagship MAVIS mode (reference System.h:65)
+    RGBD = 6
 
 
 class System:
@@ -73,7 +74,8 @@ class System:
             self.tracker = multi_tracking.MultiTracker(
                 rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc,
                 atlas=atlas_mod.Atlas())
-        else:
+        elif sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR,
+                        Sensor.RGBD):
             cfg = tracking.TrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 orb=s["orb"], **overrides)
@@ -82,6 +84,8 @@ class System:
             self.tracker = tracking.Tracker(rig, cfg, seed=seed,
                                             loop_closer=lc,
                                             atlas=atlas_mod.Atlas())
+        else:
+            raise ValueError(f"unsupported sensor {sensor}")
         self.loop_closer = lc
         self.cfg = cfg
         self._shutdown = False
@@ -92,6 +96,24 @@ class System:
         with self.timer.stage("track"):
             return self.tracker.process_frame(jnp.asarray(image),
                                               timestamp)
+
+    def track_rgbd(self, image, depth, timestamp: float) -> bool:
+        """image [H, W], depth [H, W] metric z-depth, 0 = no measurement
+        (reference: System::TrackRGBD, include/System.h:96)."""
+        assert self.sensor == Sensor.RGBD
+        with self.timer.stage("track"):
+            return self.tracker.process_frame(
+                jnp.asarray(image), timestamp, depth=jnp.asarray(depth))
+
+    def track_stereo(self, image_left, image_right,
+                     timestamp: float, imu_samples=None) -> bool:
+        """Rectified or fisheye stereo pair (reference: System::TrackStereo,
+        include/System.h:88 — here stereo is a 2-camera rig; the baseline
+        lives in the rig extrinsics and observations are per-camera)."""
+        assert self.sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        images = jnp.stack([jnp.asarray(image_left),
+                            jnp.asarray(image_right)])
+        return self.track_multi(images, timestamp, imu_samples)
 
     def track_multi(self, images, timestamp: float,
                     imu_samples=None) -> bool:

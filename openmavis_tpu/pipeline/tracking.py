@@ -686,13 +686,54 @@ class Tracker:
         self.state = self.OK
         return True
 
-    # -- main entry --------------------------------------------------------
-    def process_frame(self, img: jnp.ndarray, time: float):
+    # -- RGB-D -------------------------------------------------------------
+    def _depth_at(self, feats, depth):
+        """Sample the frame's depth map at feature locations."""
+        from ..frontend import depth as depth_mod
+        return depth_mod.sample_depth(jnp.asarray(depth), feats.xy)
+
+    def _initialize_rgbd(self, feats, depth, time):
+        """Immediate metric initialization from one depth frame.
+
+        (reference: Tracking::StereoInitialization, src/Tracking.cc:2232 —
+        stereo/RGBD spawns the first keyframe and its landmarks directly
+        from measured depth; no parallax wait, metric scale from frame 0.)
+        """
+        from ..frontend import depth as depth_mod
         cfg = self.cfg
+        d, ok = self._depth_at(feats, depth)
+        if int((ok & feats.valid).sum()) < cfg.init_min_matches:
+            return False
+        z3 = jnp.zeros(3)
+        F = cfg.orb.n_features
+        m = ms.insert_keyframe(
+            self.map, 0, jnp.eye(3), z3, z3, z3, z3, time,
+            feats.xy, feats.desc, feats.level, feats.sigma2,
+            jnp.zeros((F,), jnp.int32), feats.valid,
+            jnp.full((F,), -1, jnp.int32))
+        m, n_new = depth_mod.spawn_from_depth(
+            m, jnp.asarray(0), self.rig.kind, self.rig.params[0],
+            self.rig.R_cb[0], self.rig.t_cb[0], d, ok & feats.valid,
+            cap_new=F)
+        self.map = m
+        self.R, self.t = jnp.eye(3), jnp.zeros(3)
+        self.last_kf_slot = 0
+        self.n_kf = 1
+        self.ref_kf_inliers = int(n_new)
+        self.state = self.OK
+        return True
+
+    # -- main entry --------------------------------------------------------
+    def process_frame(self, img: jnp.ndarray, time: float, depth=None):
+        cfg = self.cfg
+        self._frame_depth = depth
 
         if self.state == self.NOT_INITIALIZED:
             feats = self._ext(img)
-            ok = self._try_initialize(feats, time)
+            if depth is not None:
+                ok = self._initialize_rgbd(feats, depth, time)
+            else:
+                ok = self._try_initialize(feats, time)
             self._record(time)
             return ok
 
@@ -842,6 +883,16 @@ class Tracker:
             self.map, slot, self.R, self.t, z3, z3, z3, time,
             feats.xy, feats.desc, feats.level, feats.sigma2,
             jnp.zeros((F,), jnp.int32), feats.valid, feat_mp)
+        if getattr(self, "_frame_depth", None) is not None:
+            # RGB-D: spawn close landmarks directly from measured depth
+            # (reference: CreateNewKeyFrame depth-sorted creation,
+            # src/Tracking.cc:3159)
+            from ..frontend import depth as depth_mod
+            d, ok = self._depth_at(feats, self._frame_depth)
+            self.map, _ = depth_mod.spawn_from_depth(
+                self.map, jnp.asarray(slot), self.rig.kind,
+                self.rig.params[0], self.rig.R_cb[0], self.rig.t_cb[0],
+                d, ok & feats.valid, cap_new=cfg.new_mp_cap)
         refs = jnp.asarray([slot - 1 - j for j in range(4)],
                            dtype=jnp.int32)
         self.map, n_new = spawn_landmarks(
