@@ -14,10 +14,31 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..geometry import lie
 
-import jax.numpy as jnp
-from ..geometry import cameras as cam_mod
+
+def _np_project(kind: int, params: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Pure-numpy camera projection mirroring geometry.cameras.project.
+
+    The renderer must NOT touch the device: on the axon TPU transport, any
+    device->host read drops the client out of its pipelined fast path for
+    the rest of the process (see pipeline/streaming.py), so benchmark data
+    generation has to stay host-side.
+    """
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    if kind == 0:      # PINHOLE
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        return np.stack([fx * x / zs + cx, fy * y / zs + cy], axis=-1)
+    # KB8 equidistant fisheye
+    k = params[4:8]
+    r = np.sqrt(np.maximum(x * x + y * y, 1e-18))
+    theta = np.arctan2(r, z)
+    t2 = theta * theta
+    theta_d = theta * (1 + k[0] * t2 + k[1] * t2 ** 2
+                       + k[2] * t2 ** 3 + k[3] * t2 ** 4)
+    s = np.where(r < 1e-9, 1.0 / np.where(np.abs(z) < 1e-9, 1e-9, z),
+                 theta_d / r)
+    return np.stack([fx * s * x + cx, fy * s * y + cy], axis=-1)
 
 
 @dataclass
@@ -60,8 +81,8 @@ def render(world: BlobWorld, kind: int, params: np.ndarray,
     inten = world.intensity[in_front]
     size = world.size[in_front]
 
-    uv = np.asarray(cam_mod.project(kind, jnp.asarray(params),
-                                    jnp.asarray(p_c)))
+    uv = _np_project(kind, np.asarray(params, np.float64),
+                     p_c.astype(np.float64)).astype(np.float32)
     # sprite radius shrinks with depth
     rad = np.clip(size * 400.0 / (p_c[:, 2] * 100.0), 1.0, 4.0)
 
@@ -118,6 +139,30 @@ def orbit_trajectory(n_frames: int, radius: float = 6.0,
     return np.stack(Rs), np.stack(ts)
 
 
+
+def _np_so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rodrigues (host-side; see _np_project note on device purity)."""
+    th = float(np.linalg.norm(w))
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]],
+                 np.float64)
+    if th < 1e-8:
+        return (np.eye(3) + K).astype(np.float32)
+    A = np.sin(th) / th
+    B = (1 - np.cos(th)) / th ** 2
+    return (np.eye(3) + A * K + B * (K @ K)).astype(np.float32)
+
+
+def _np_so3_log(R: np.ndarray) -> np.ndarray:
+    tr = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-8:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]], np.float64) / 2
+    return th / (2 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]],
+        np.float64)
+
+
 def forward_trajectory(n_frames: int, step: float = 0.12,
                        yaw_rate: float = 0.004):
     """Mostly-forward motion with gentle yaw (EuRoC-ish)."""
@@ -127,8 +172,7 @@ def forward_trajectory(n_frames: int, step: float = 0.12,
     for i in range(n_frames):
         Rs.append(R.copy())
         ts.append(t.copy())
-        R = R @ np.asarray(lie.so3_exp(jnp.asarray(
-            [0.0, yaw_rate, 0.0], dtype=jnp.float32)))
+        R = R @ _np_so3_exp(np.array([0.0, yaw_rate, 0.0]))
         t = t + R @ np.array([0.0, 0.0, step], np.float32)
     return np.stack(Rs), np.stack(ts)
 
@@ -164,9 +208,8 @@ def imu_from_trajectory(R_wb: np.ndarray, p_wb: np.ndarray, dt: float,
         i = min(int(u), T - 2)
         f = u - i
         dR = R_wb[i].T @ R_wb[i + 1]
-        w = np.asarray(lie.so3_log(jnp.asarray(dR, dtype=jnp.float32)))
-        return R_wb[i] @ np.asarray(lie.so3_exp(
-            jnp.asarray(f * w, dtype=jnp.float32)))
+        w = _np_so3_log(np.asarray(dR, np.float64))
+        return R_wb[i] @ _np_so3_exp(f * w)
 
     n = (T - 1) * rate_mult
     for k in range(n):
@@ -175,8 +218,8 @@ def imu_from_trajectory(R_wb: np.ndarray, p_wb: np.ndarray, dt: float,
         Rk = rot(u)
         # angular velocity: FD of rotation over h
         dR = Rk.T @ rot(u + 1.0 / rate_mult)
-        w = np.asarray(lie.so3_log(jnp.asarray(
-            dR, dtype=jnp.float32))) / h
+        w = (_np_so3_log(np.asarray(dR, np.float64)) / h).astype(
+            np.float32)
         # world acceleration: central second difference
         a_w = (pos(u + 1.0 / rate_mult) - 2 * pos(u)
                + pos(max(u - 1.0 / rate_mult, 0.0))) / (h * h)

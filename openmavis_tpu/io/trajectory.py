@@ -39,6 +39,17 @@ def save_euroc(path: str, times, R, t):
                     f"{q[i][3]:.7f}\n")
 
 
+def save_kitti(path: str, times, R, t):
+    """KITTI format: 12 row-major entries of the 3x4 pose [R | t] per line
+    (reference: System::SaveTrajectoryKITTI, src/System.cc:1240-1300)."""
+    with open(path, "w") as f:
+        for i in range(len(times)):
+            Ri = np.asarray(R[i]).reshape(3, 3)
+            ti = np.asarray(t[i]).reshape(3)
+            row = np.concatenate([Ri, ti[:, None]], axis=1).reshape(-1)
+            f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+
+
 def load_tum(path: str):
     """Returns (times [N], positions [N,3], quats_wxyz [N,4])."""
     rows = []

@@ -244,6 +244,9 @@ class MultiTracker:
             self.map = ms.allocate(cfg.max_kf, CF, cfg.max_mp)
             self.map_id = 0
         self.lost_frames = 0
+        # localization-only: track, never extend the map
+        # (reference: ActivateLocalizationMode, System.h:132)
+        self.localization_only = False
         # preintegration chains of parked maps, keyed by atlas map index
         self._parked_pre = {}
         self.key = jax.random.PRNGKey(seed)
@@ -369,7 +372,8 @@ class MultiTracker:
                    or n_in < cfg.kf_min_inliers_abs
                    or (cfg.use_imu and self.last_kf_time is not None
                        and time - self.last_kf_time > cfg.kf_max_interval_s))
-        if need_kf and self.n_kf < cfg.max_kf:
+        if (need_kf and self.n_kf < cfg.max_kf
+                and not self.localization_only):
             self._insert_keyframe(bank, time, feat_mp, n_in)
 
         self._record(time)

@@ -135,6 +135,40 @@ class System:
     def tracking_state(self):
         return self.tracker.state
 
+    # -- runtime toggles (reference System.h:132-138, System.cc:92-96) ------
+    def activate_localization_mode(self):
+        """Track against the frozen map; no new keyframes / landmarks
+        (reference: System::ActivateLocalizationMode — stops LocalMapping)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
+    def activate_lc(self):
+        self.tracker.loop_closer = self.loop_closer
+
+    def deactivate_lc(self):
+        """Disable loop-closing (reference: `loopClosing` yaml kill-switch
+        + ActivateLC, src/System.cc:92-96)."""
+        self.tracker.loop_closer = None
+
+    def reset(self):
+        """Drop all maps and start over (reference: System::Reset)."""
+        tr = self.tracker
+        if tr.atlas is not None:
+            tr.atlas.maps.clear()
+        tr.__init__(tr.rig, tr.cfg,
+                    **({"noise": tr.noise} if hasattr(tr, "noise") else {}),
+                    seed=0, loop_closer=tr.loop_closer, atlas=tr.atlas)
+
+    def reset_active_map(self):
+        """Abandon the active map, keep the Atlas (reference:
+        System::ResetActiveMap -> Tracking::ResetActiveMap)."""
+        if self.tracker.atlas is not None:
+            self.tracker._spawn_new_map()
+        else:
+            self.reset()
+
     def shutdown(self):
         """(reference: System::Shutdown — here: flush/no-op, stages are
         synchronous)."""

@@ -374,27 +374,34 @@ def relocalize_step(m: ms.MapState, feats: extractor.Features, key,
     best_per_kf = jnp.min(dist, axis=2)
     scores = jnp.sum((best_per_kf < matcher.TH_LOW).astype(jnp.int32)
                      & feats.valid[:, None].astype(jnp.int32), axis=0)
-    kf = jnp.argmax(scores)
+    # try the top-3 candidate keyframes in batch (reference iterates all
+    # KFDB relocalization candidates, Tracking.cc:3564-3593)
+    N_CAND = 3
+    _, kf_cand = jax.lax.top_k(scores, N_CAND)
 
-    has_mp = (m.kf_obs[kf] >= 0) & m.kf_feat_valid[kf]
-    idx, hd = matcher.match_nn(feats.desc, feats.valid,
-                               m.kf_desc[kf], has_mp,
-                               max_dist=matcher.TH_LOW, ratio=0.85,
-                               mutual=True)
-    matched = idx >= 0
-    safe = jnp.where(matched, idx, 0)
-    mp = jnp.where(matched, m.kf_obs[kf][safe], 0)
-    valid = matched & m.mp_valid[mp]
-    p_w = m.mp_pos[mp]
     bearing = cameras.unproject(rig_kind, rig.params[0], feats.xy)
     # express bearings in body frame of camera 0
     bearing_b = jnp.einsum("ji,fj->fi", rig.R_cb[0], bearing)
 
-    res = pnp_mod.ransac_pnp(key, p_w, bearing_b, valid, min_inliers=15)
+    def per_cand(kf, k):
+        has_mp = (m.kf_obs[kf] >= 0) & m.kf_feat_valid[kf]
+        idx, hd = matcher.match_nn(feats.desc, feats.valid,
+                                   m.kf_desc[kf], has_mp,
+                                   max_dist=matcher.TH_LOW, ratio=0.85,
+                                   mutual=True)
+        matched = idx >= 0
+        safe = jnp.where(matched, idx, 0)
+        mp = jnp.where(matched, m.kf_obs[kf][safe], 0)
+        valid = matched & m.mp_valid[mp]
+        p_w = m.mp_pos[mp]
+        return pnp_mod.ransac_pnp(k, p_w, bearing_b, valid, min_inliers=15)
+
+    res = jax.vmap(per_cand)(kf_cand, jax.random.split(key, N_CAND))
+    b = jnp.argmax(res.n_inliers)
     # R_cw/t_cw are body(cam0-frame)-from-world -> invert to world-from-body
-    R_wb = res.R_cw.T
-    t_wb = -res.R_cw.T @ res.t_cw
-    return res.success, R_wb, t_wb, res.n_inliers
+    R_wb = res.R_cw[b].T
+    t_wb = -res.R_cw[b].T @ res.t_cw[b]
+    return res.success[b], R_wb, t_wb, res.n_inliers[b]
 
 
 @partial(jax.jit, static_argnames=("rig_kind", "cap_new", "n_refs"))
@@ -570,6 +577,9 @@ class Tracker:
                                    cfg.max_mp)
             self.map_id = 0
         self.lost_frames = 0
+        # localization-only: track, never extend the map
+        # (reference: ActivateLocalizationMode, System.h:132)
+        self.localization_only = False
         self.key = jax.random.PRNGKey(seed)
         self._init_feats = None
         self._init_img_time = None
@@ -810,7 +820,8 @@ class Tracker:
         need_kf = (n_in < cfg.kf_min_inlier_frac
                    * max(self.ref_kf_inliers, 1)
                    or n_in < cfg.kf_min_inliers_abs)
-        if need_kf and self.n_kf < cfg.max_kf:
+        if (need_kf and self.n_kf < cfg.max_kf
+                and not self.localization_only):
             self._insert_keyframe(feats, time, feat_mp, n_in)
 
         self._record(time)

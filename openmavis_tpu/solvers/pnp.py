@@ -21,12 +21,14 @@ import jax.numpy as jnp
 from ..geometry import lie
 
 
-def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray):
+def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray, w=None):
     """Linear 6+ point resection, batched over hypotheses.
 
     p_w: [..., P, 3] world points; bearing: [..., P, 3] unit bearings in the
     camera frame. Solves for P = [R|t] (camera-from-world) up to scale via
     bearing x (R p + t) = 0 (two independent rows per point).
+    `w` ([..., P], optional) weights each point's constraint rows — used by
+    the LO-RANSAC refit to solve over an inlier subset without gathers.
     Returns (R [...,3,3], t [...,3]).
     """
     x, y, z = bearing[..., 0], bearing[..., 1], bearing[..., 2]
@@ -37,6 +39,9 @@ def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray):
                          axis=-1)                     # [..., P, 12]
     r2 = jnp.concatenate([z[..., None] * pw_h, zero, -x[..., None] * pw_h],
                          axis=-1)
+    if w is not None:
+        r1 = r1 * w[..., None]
+        r2 = r2 * w[..., None]
     A = jnp.concatenate([r1, r2], axis=-2)            # [..., 2P, 12]
     AtA = jnp.swapaxes(A, -1, -2) @ A
     _, V = jnp.linalg.eigh(AtA)
@@ -62,8 +67,10 @@ def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray):
     Rp, tp = polar(P)
     Rn, tn = polar(-P)
     zp = (jnp.einsum("...ij,...pj->...pi", Rp, p_w) + tp[..., None, :])[..., 2]
-    pos = jnp.sum((zp > 0).astype(jnp.int32), axis=-1)
-    use_p = (pos * 2 >= p_w.shape[-2])[..., None, None]
+    cnt = (jnp.ones_like(zp) if w is None
+           else (w > 0).astype(zp.dtype))
+    pos = jnp.sum((zp > 0).astype(zp.dtype) * cnt, axis=-1)
+    use_p = (pos * 2 >= jnp.sum(cnt, axis=-1))[..., None, None]
     R = jnp.where(use_p, Rp, Rn)
     t = jnp.where(use_p[..., 0], tp, tn)
     return R, t
@@ -77,32 +84,53 @@ class PnPResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+def _gate(R, t, p_w, bearing, valid, cos_th):
+    """Inlier mask + count for a single pose (or leading batch of poses)."""
+    pred = jnp.einsum("...ij,nj->...ni", R, p_w) + t[..., None, :]
+    pred = pred / jnp.maximum(
+        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.einsum("...ni,ni->...n", pred, bearing)
+    inl = (cosang > cos_th) & valid
+    return inl, jnp.sum(inl.astype(jnp.int32), axis=-1)
+
+
 def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
-               valid: jnp.ndarray, n_hyp: int = 256,
+               valid: jnp.ndarray, n_hyp: int = 512,
                sample_size: int = 6, cos_th: float = 0.9998,
-               min_inliers: int = 12) -> PnPResult:
-    """RANSAC resection from 3D-point <-> bearing matches.
+               min_inliers: int = 12, lo_rounds: int = 2) -> PnPResult:
+    """LO-RANSAC resection from 3D-point <-> bearing matches.
 
     Args:
       p_w: [N, 3]; bearing: [N, 3] unit camera-frame bearings; valid: [N].
       cos_th: inlier gate on the angle between observed and predicted
         bearings (0.9998 ~ 1.15 deg ~ a few pixels at f=400).
+      lo_rounds: local-optimization rounds — the best hypothesis is refit
+        by a weighted DLT over ALL its inliers and re-gated, which rescues
+        minimal samples that are near-degenerate (clustered scenes) and
+        makes success nearly key-independent.
     """
     logits = jnp.where(valid, 0.0, -1e9)
     idx = jax.random.categorical(key, logits[None, None, :],
                                  shape=(n_hyp, sample_size))
     R, t = _dlt_pose(p_w[idx], bearing[idx])
 
-    pred = jnp.einsum("sij,nj->sni", R, p_w) + t[:, None, :]
-    pred = pred / jnp.maximum(
-        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-9)
-    cosang = jnp.einsum("sni,ni->sn", pred, bearing)
-    inl = (cosang > cos_th) & valid[None, :]
-    n_inl = jnp.sum(inl.astype(jnp.int32), axis=1)
+    inl, n_inl = _gate(R, t, p_w, bearing, valid[None, :], cos_th)
     # invalidate hypotheses drawn from invalid samples
     bad = jnp.any(~valid[idx], axis=-1)
     n_inl = jnp.where(bad, 0, n_inl)
     best = jnp.argmax(n_inl)
-    return PnPResult(success=n_inl[best] >= min_inliers,
-                     R_cw=R[best], t_cw=t[best], inlier=inl[best],
-                     n_inliers=n_inl[best])
+    R_b, t_b = R[best], t[best]
+    inl_b, n_b = inl[best], n_inl[best]
+
+    for _ in range(lo_rounds):
+        w = inl_b.astype(p_w.dtype)
+        R_r, t_r = _dlt_pose(p_w, bearing, w=w)
+        inl_r, n_r = _gate(R_r, t_r, p_w, bearing, valid, cos_th)
+        take = n_r > n_b
+        R_b = jnp.where(take, R_r, R_b)
+        t_b = jnp.where(take, t_r, t_b)
+        inl_b = jnp.where(take, inl_r, inl_b)
+        n_b = jnp.where(take, n_r, n_b)
+
+    return PnPResult(success=n_b >= min_inliers,
+                     R_cw=R_b, t_cw=t_b, inlier=inl_b, n_inliers=n_b)
