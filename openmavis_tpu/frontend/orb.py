@@ -55,13 +55,37 @@ def orientation_maps(img: jnp.ndarray, radius: int = PATCH_RADIUS):
     return out[0, 0], out[0, 1]
 
 
+def _moment_weights(radius: int):
+    """Flattened (wx [P], wy [P], offsets dy,dx [P, 2]) of the circular
+    patch — precomputed host-side once per radius."""
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = _circular_mask(radius)
+    wx = (x * mask).reshape(-1).astype(np.float32)
+    wy = (y * mask).reshape(-1).astype(np.float32)
+    off = np.stack([y.reshape(-1), x.reshape(-1)], axis=-1).astype(np.int32)
+    return wx, wy, off
+
+
 def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray,
                     radius: int = PATCH_RADIUS) -> jnp.ndarray:
-    """Intensity-centroid angle (radians) for keypoints [K, 2] (x, y)."""
-    m10, m01 = orientation_maps(img, radius)
-    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
-    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
-    return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+    """Intensity-centroid angle (radians) for keypoints [K, 2] (x, y).
+
+    Gathers each keypoint's 31x31 patch and reduces against the moment
+    weights — work scales with K, not H*W. (A dense conv formulation costs
+    ~200 ms/frame on TPU: a 1-input-channel 31x31 conv cannot use the MXU,
+    and the moment maps are only ever read at K<=512 positions.)
+    """
+    h, w = img.shape
+    wx, wy, off = _moment_weights(radius)
+    wx, wy = jnp.asarray(wx), jnp.asarray(wy)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+    py = jnp.clip(yi[:, None] + off[None, :, 0], 0, h - 1)   # [K, P]
+    px = jnp.clip(xi[:, None] + off[None, :, 1], 0, w - 1)
+    patch = jnp.take(img.reshape(-1), py * w + px)           # [K, P]
+    m10 = patch @ wx
+    m01 = patch @ wy
+    return jnp.arctan2(m01, m10)
 
 
 def make_pattern(seed: int = 1234, n_bits: int = N_BITS,

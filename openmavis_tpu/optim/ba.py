@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..geometry import lie
 from . import inertial as inertial_mod
 from . import robust
-from .reprojection import RigParams, mono_residual_jac
+from .reprojection import RigParams, mono_residual, mono_residual_jac
 
 
 class BAState(NamedTuple):
@@ -306,7 +306,13 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
         return Hpp, Hpl, Hll, gp, gl, chi
 
     def chi2_fn(st: BAState, active):
-        r, _, _, w, _ = _visual_terms(st, obs, rig, active)
+        # residual-only pass (no Jacobians) for the LM accept test
+        r, depth = mono_residual(st.R[obs.kf], st.t[obs.kf],
+                                 st.points[obs.mp], obs.cam, obs.uv, rig)
+        info = 1.0 / obs.sigma2
+        c = jnp.sum(r * r, axis=-1) * info
+        w = robust.huber_weight(c, robust.CHI2_2D) * info
+        w = jnp.where(active & (depth > 0.01), w, 0.0)
         chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
         if D == 15:
             chi = chi + _inertial_chi2(st, edges, prior, prior_idx)
@@ -340,8 +346,11 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
 
     for si, iters in enumerate(stages):
         state, chi = lm_stage(state, active, iters)
-        # re-gate visual outliers between stages
-        _, _, _, _, chi2 = _visual_terms(state, obs, rig, obs.valid)
-        active = obs.valid & (chi2 < chi2_th)
+        # re-gate visual outliers between stages (residual-only pass)
+        r, depth = mono_residual(state.R[obs.kf], state.t[obs.kf],
+                                 state.points[obs.mp], obs.cam, obs.uv,
+                                 rig)
+        chi2 = jnp.sum(r * r, axis=-1) / obs.sigma2
+        active = obs.valid & (chi2 < chi2_th) & (depth > 0.01)
 
     return state, active, chi

@@ -79,6 +79,18 @@ def mono_residual_jac(R_wb, t_wb, p_w, cam_idx, uv_obs, rig: RigParams):
     return r, J_pose, J_point, p_c[..., 2]
 
 
+def mono_residual(R_wb, t_wb, p_w, cam_idx, uv_obs, rig: RigParams):
+    """Residual-only variant of `mono_residual_jac` — used by the LM
+    accept/reject test, where Jacobians would be dead code."""
+    Rcb = rig.R_cb[cam_idx]
+    tcb = rig.t_cb[cam_idx]
+    params = rig.params[cam_idx]
+    p_b = jnp.einsum("oji,oj->oi", R_wb, p_w - t_wb)
+    p_c = jnp.einsum("oij,oj->oi", Rcb, p_b) + tcb
+    uv_hat = cameras.project(rig.kind, params, p_c)
+    return uv_obs - uv_hat, p_c[..., 2]
+
+
 def stereo_residual_jac(R_wb, t_wb, p_w, cam_idx, uvr_obs, bf, rig: RigParams):
     """3-dof rectified-stereo residual [u, v, u_r] (reference: EdgeStereo).
 

@@ -448,30 +448,48 @@ def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
              & w_valid[kf_local])
     mp_safe = jnp.where(valid, mp, 0)
     valid = valid & m.mp_valid[mp_safe]
+
+    # --- window-local landmark compaction -------------------------------
+    # The BA only touches landmarks observed in the window (<= W*F but
+    # typically a few hundred); running the Schur solve over the full
+    # map capacity wastes ~2x device time (Hll inverses + the dense
+    # pose-landmark coupling scale with M). Compact to ML local slots.
+    M = m.mp_pos.shape[0]
+    ML = min(M, 1024)
+    seen = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    order = jnp.cumsum(seen.astype(jnp.int32)) - 1      # local slot per map id
+    keep = seen & (order < ML)
+    # inverse table: local slot -> map index (overflow slots parked at ML)
+    inv = jnp.zeros((ML + 1,), jnp.int32).at[
+        jnp.where(keep, order, ML)].set(jnp.arange(M))[:ML]
+    n_local = jnp.minimum(jnp.sum(seen.astype(jnp.int32)), ML)
+    used = jnp.arange(ML) < n_local
+    valid = valid & keep[mp_safe]
     obs = ba.BAObservations(
-        kf=kf_local, mp=mp_safe, cam=m.kf_cam[slots, feat],
+        kf=kf_local, mp=jnp.where(valid, order[mp_safe], 0),
+        cam=m.kf_cam[slots, feat],
         uv=m.kf_xy[slots, feat], sigma2=m.kf_sigma2[slots, feat],
         valid=valid)
 
     state0 = ba.BAState(
         R=m.kf_R[w_ids], t=m.kf_t[w_ids], v=m.kf_v[w_ids],
-        bg=m.kf_bg[w_ids], ba=m.kf_ba[w_ids], points=m.mp_pos)
+        bg=m.kf_bg[w_ids], ba=m.kf_ba[w_ids], points=m.mp_pos[inv])
     # fix the two oldest valid window members (gauge + frontier)
     fixed = (jnp.arange(W) < 2) | ~w_valid
-    M = m.mp_pos.shape[0]
-    observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
-    point_fixed = ~observed
 
     state, inlier, chi = ba.bundle_adjust(
-        state0, obs, rig, fixed, point_fixed=point_fixed, stages=(5, 10))
+        state0, obs, rig, fixed, point_fixed=~used, stages=(5, 10))
 
-    # write back window poses + all points; drop gated-out observations
+    # write back window poses + compacted points; drop gated observations.
+    # Unused local slots scatter to index M, which is out of bounds and
+    # therefore dropped (default scatter mode) — they must not write, since
+    # their inv entries all alias map index 0.
     m = m._replace(
         kf_R=m.kf_R.at[w_ids].set(
             jnp.where(w_valid[:, None, None], state.R, m.kf_R[w_ids])),
         kf_t=m.kf_t.at[w_ids].set(
             jnp.where(w_valid[:, None], state.t, m.kf_t[w_ids])),
-        mp_pos=jnp.where(observed[:, None], state.points, m.mp_pos),
+        mp_pos=m.mp_pos.at[jnp.where(used, inv, M)].set(state.points),
         kf_obs=m.kf_obs.at[slots, feat].set(
             jnp.where(valid & ~inlier, -1, m.kf_obs[slots, feat])),
     )
