@@ -128,3 +128,28 @@ def extract_multicam(images: jnp.ndarray,
     of one fused program.
     """
     return jax.vmap(partial(extract, cfg=cfg))(images)
+
+
+def undistort_features(feats: Features, params: jnp.ndarray,
+                       dist) -> Features:
+    """Replace keypoint pixels with ideal-pinhole pixels.
+
+    For distorted-pinhole rigs (e.g. raw EuRoC images, radtan k1 ~= -0.28)
+    the detector runs on the raw image and the keypoints are lifted to the
+    ideal pinhole model here, so all downstream projection/matching uses
+    undistorted coordinates (reference: Frame::UndistortKeyPoints via
+    cv::undistortPoints, src/Frame.cc).
+
+    params/dist broadcast over feats.xy's batch dims: single-camera
+    feats [K, 2] take params [4+]/dist [4]; camera-batched feats [C, K, 2]
+    take params [C, 4+]/dist [C, 4]. `dist` None is a no-op.
+    """
+    if dist is None:
+        return feats
+    from ..geometry import cameras
+    p = jnp.asarray(params)
+    d = jnp.asarray(dist)
+    if feats.xy.ndim == 3:      # [C, K, 2]
+        p, d = p[:, None, :], d[:, None, :]
+    xy = cameras.undistort_pixels(p, d, feats.xy)
+    return feats._replace(xy=xy)

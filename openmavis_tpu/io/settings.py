@@ -54,13 +54,20 @@ def load_settings(path_or_dict):
     cam_type = cfg.get("Camera", {}).get("type", "PinHole")
     kind = cameras.PINHOLE if cam_type == "PinHole" else cameras.KB8
 
-    params, R_cb, t_cb = [], [], []
+    params, R_cb, t_cb, dist = [], [], [], []
     for i in range(1, 9):
         key = f"Camera{i}"
         if key not in cfg:
             break
         node = cfg[key]
         params.append(_cam_params(node))
+        if kind == cameras.PINHOLE:
+            # radtan distortion of a distorted-pinhole camera (reference:
+            # the k1/k2/p1/p2 keys of e.g. EuRoC.yaml handled via
+            # cv::undistortPoints in Frame::UndistortKeyPoints)
+            dist.append(np.asarray(
+                [node.get("k1", 0.0), node.get("k2", 0.0),
+                 node.get("p1", 0.0), node.get("p2", 0.0)], np.float32))
         T_bc = _T(node.get("T_b_c", np.eye(4)))
         # stored as camera-from-body
         R = T_bc[:3, :3].T
@@ -69,6 +76,8 @@ def load_settings(path_or_dict):
         t_cb.append(t.astype(np.float32))
     if not params:
         raise ValueError("settings define no Camera1")
+    dist_arr = (np.stack(dist) if dist and any(d.any() for d in dist)
+                else None)
 
     rig = RigParams(kind=kind,
                     params=jnp.asarray(np.stack(params)),
@@ -94,6 +103,7 @@ def load_settings(path_or_dict):
 
     return {
         "rig": rig,
+        "dist": dist_arr,
         "orb": orb,
         "imu_noise": noise,
         "imu_frequency": cfg.get("IMU", {}).get("Frequency", 200.0),

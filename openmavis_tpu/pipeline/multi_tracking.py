@@ -49,10 +49,13 @@ def concat_bands(feats: extractor.Features) -> dict:
 @partial(jax.jit, static_argnames=("rig_kind", "n_cams", "orb_cfg"))
 def frame_step_multi(m: ms.MapState, images, R_pred, t_pred,
                      rig_kind: int, n_cams: int, rig: RigParams, orb_cfg,
-                     img_w: float, img_h: float, radius, min_last_kf=-1):
+                     img_w: float, img_h: float, radius, min_last_kf=-1,
+                     dist=None):
     """Fused per-frame step: multi-camera extraction + banding + tracking
     in one device program (one dispatch per frame)."""
     feats = extractor.extract_multicam(images, orb_cfg)
+    if dist is not None:
+        feats = extractor.undistort_features(feats, rig.params, dist)
     bank = concat_bands(feats)
     out = track_step_multi(m, bank, R_pred, t_pred, rig_kind, n_cams,
                            rig, img_w, img_h, radius, min_last_kf)
@@ -226,9 +229,12 @@ class MultiTracker:
 
     def __init__(self, rig: RigParams, cfg: MultiTrackerConfig,
                  noise: pre_mod.ImuNoise | None = None, seed: int = 0,
-                 loop_closer=None, atlas=None):
+                 loop_closer=None, atlas=None, dist=None):
         self.rig = rig
         self.cfg = cfg
+        # optional [C, 4] radtan distortion of a distorted-pinhole rig
+        # (reference: Frame::UndistortKeyPoints)
+        self.dist = None if dist is None else jnp.asarray(dist)
         self.noise = noise or pre_mod.ImuNoise.from_sigmas(
             1.7e-4, 2e-3, 1.9e-5, 3e-3, cfg.imu_freq)
         self.loop_closer = loop_closer
@@ -268,8 +274,12 @@ class MultiTracker:
         self._imu_kf = []
         # per-KF preintegrations (list of Preintegrated, index = KF slot)
         self.kf_pre = []
-        self._ext = jax.jit(
-            lambda im: extractor.extract_multicam(im, cfg.orb))
+        def _ext(im, dist=self.dist, rig_p=rig.params):
+            feats = extractor.extract_multicam(im, cfg.orb)
+            if dist is not None:
+                feats = extractor.undistort_features(feats, rig_p, dist)
+            return feats
+        self._ext = jax.jit(_ext)
 
     # -- IMU ---------------------------------------------------------------
     def feed_imu(self, w, a, t):
@@ -330,7 +340,7 @@ class MultiTracker:
             R, t, feat_mp, n_in, vis, keep, bank = frame_step_multi(
                 self.map, images, R_pred, t_pred, self.rig.kind,
                 cfg.n_cams, self.rig, cfg.orb, float(cfg.img_w),
-                float(cfg.img_h), cfg.match_radius, min_last)
+                float(cfg.img_h), cfg.match_radius, min_last, self.dist)
         else:
             bank = concat_bands(self._ext(images))
             R, t, feat_mp, n_in, vis, keep = track_step_multi(

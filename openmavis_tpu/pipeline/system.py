@@ -73,7 +73,7 @@ class System:
                   if enable_loop_closing else None)
             self.tracker = multi_tracking.MultiTracker(
                 rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc,
-                atlas=atlas_mod.Atlas())
+                atlas=atlas_mod.Atlas(), dist=s["dist"])
         elif sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR,
                         Sensor.RGBD):
             cfg = tracking.TrackerConfig(
@@ -83,7 +83,8 @@ class System:
                   if enable_loop_closing else None)
             self.tracker = tracking.Tracker(rig, cfg, seed=seed,
                                             loop_closer=lc,
-                                            atlas=atlas_mod.Atlas())
+                                            atlas=atlas_mod.Atlas(),
+                                            dist=s["dist"])
         else:
             raise ValueError(f"unsupported sensor {sensor}")
         self.loop_closer = lc
@@ -159,7 +160,8 @@ class System:
             tr.atlas.maps.clear()
         tr.__init__(tr.rig, tr.cfg,
                     **({"noise": tr.noise} if hasattr(tr, "noise") else {}),
-                    seed=0, loop_closer=tr.loop_closer, atlas=tr.atlas)
+                    seed=0, loop_closer=tr.loop_closer, atlas=tr.atlas,
+                    dist=tr.dist)
 
     def reset_active_map(self):
         """Abandon the active map, keep the Atlas (reference:

@@ -68,11 +68,13 @@ def project_landmarks(m: ms.MapState, R, t, rig_kind: int, rig_params,
 @partial(jax.jit, static_argnames=("rig_kind", "orb_cfg"))
 def frame_step(m: ms.MapState, img, R_pred, t_pred, rig_kind: int,
                rig: RigParams, orb_cfg, img_w: float, img_h: float,
-               radius, min_last_kf=-1):
+               radius, min_last_kf=-1, dist=None):
     """Fused per-frame step: ORB extraction + whole-map tracking in ONE
     device program (one dispatch per frame; through remote TPU transports
     the per-call overhead dominates otherwise)."""
     feats = extractor.extract(img, orb_cfg)
+    if dist is not None:
+        feats = extractor.undistort_features(feats, rig.params[0], dist)
     out = track_step(m, feats, R_pred, t_pred, rig_kind, rig, img_w,
                      img_h, radius, min_last_kf)
     return out + (feats,)
@@ -578,9 +580,13 @@ class Tracker:
     LOST = 2
 
     def __init__(self, rig: RigParams, cfg: TrackerConfig,
-                 seed: int = 0, loop_closer=None, atlas=None):
+                 seed: int = 0, loop_closer=None, atlas=None, dist=None):
         self.rig = rig
         self.cfg = cfg
+        # optional [C, 4] radtan distortion of a distorted-pinhole rig;
+        # keypoints are undistorted right after extraction (reference:
+        # Frame::UndistortKeyPoints)
+        self.dist = None if dist is None else jnp.asarray(dist)
         self.loop_closer = loop_closer   # optional LoopCloser hook
         self.atlas = atlas               # optional multi-map Atlas
         self.state = self.NOT_INITIALIZED
@@ -614,8 +620,12 @@ class Tracker:
         # mlRelativeFramePoses + SaveTrajectoryEuRoC, src/System.cc:717)
         self.trajectory = []
         self.n_kf = 0
-        self._ext = jax.jit(
-            lambda im: extractor.extract(im, cfg.orb))
+        def _ext(im, dist=self.dist, rig_p=rig.params):
+            feats = extractor.extract(im, cfg.orb)
+            if dist is not None:
+                feats = extractor.undistort_features(feats, rig_p[0], dist[0])
+            return feats
+        self._ext = jax.jit(_ext)
 
     # -- helpers -----------------------------------------------------------
     def _next_key(self):
@@ -799,7 +809,8 @@ class Tracker:
             R, t, feat_mp, n_in, vis, keep, feats = frame_step(
                 self.map, img, R_pred, t_pred, self.rig.kind, self.rig,
                 cfg.orb, float(cfg.img_w), float(cfg.img_h),
-                cfg.match_radius, min_last)
+                cfg.match_radius, min_last,
+                None if self.dist is None else self.dist[0])
         else:
             feats = self._ext(img)
             R, t, feat_mp, n_in, vis, keep = track_step(

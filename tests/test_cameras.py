@@ -138,3 +138,49 @@ class TestTriangulation:
         x2 = pc2[:, :2] / pc2[:, 2:3]
         X = triangulation.triangulate_dlt(P1, P2, x1, x2)
         np.testing.assert_allclose(np.asarray(X), np.asarray(p), atol=1e-2)
+
+
+class TestUndistortFeatures:
+    def test_roundtrip_single_and_multicam(self):
+        """Distorted-pinhole keypoints lift to ideal pinhole pixels
+        (reference: Frame::UndistortKeyPoints via cv::undistortPoints)."""
+        from openmavis_tpu.frontend import extractor
+        params = jnp.asarray([458.0, 457.0, 367.0, 248.0, 0, 0, 0, 0])
+        dist = jnp.asarray([-0.28, 0.074, 1.9e-4, 1.8e-5])
+        key = jax.random.PRNGKey(0)
+        K = 64
+        # ideal pixels well inside the image
+        uv_ideal = jnp.stack([
+            jax.random.uniform(key, (K,), minval=100, maxval=650),
+            jax.random.uniform(jax.random.PRNGKey(1), (K,),
+                               minval=80, maxval=400)], axis=-1)
+        # distort them to get raw-detector coordinates
+        fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+        xy = jnp.stack([(uv_ideal[:, 0] - cx) / fx,
+                        (uv_ideal[:, 1] - cy) / fy], axis=-1)
+        xy_d = cameras.radtan_distort(dist, xy)
+        uv_raw = jnp.stack([fx * xy_d[:, 0] + cx,
+                            fy * xy_d[:, 1] + cy], axis=-1)
+
+        def mk(xy):
+            z = jnp.zeros((xy.shape[0],))
+            return extractor.Features(
+                xy=xy, response=z, angle=z,
+                level=z.astype(jnp.int32), sigma2=z + 1,
+                desc=jnp.zeros((xy.shape[0], 256), jnp.int8),
+                valid=jnp.ones((xy.shape[0],), bool))
+
+        out = extractor.undistort_features(mk(uv_raw), params, dist)
+        np.testing.assert_allclose(np.asarray(out.xy),
+                                   np.asarray(uv_ideal), atol=0.05)
+        # camera-batched variant [C, K, 2]
+        f2 = jax.tree.map(lambda a: jnp.stack([a, a]), mk(uv_raw))
+        out2 = extractor.undistort_features(
+            f2, jnp.stack([params, params]), jnp.stack([dist, dist]))
+        np.testing.assert_allclose(np.asarray(out2.xy[1]),
+                                   np.asarray(uv_ideal), atol=0.05)
+        # None distortion is a no-op
+        out3 = extractor.undistort_features(mk(uv_raw), params, None)
+        assert out3.xy is not None
+        np.testing.assert_allclose(np.asarray(out3.xy),
+                                   np.asarray(uv_raw))
