@@ -176,6 +176,117 @@ integrate_batch = jax.vmap(integrate, in_axes=(0, 0, 0, 0, None))
 
 
 # ---------------------------------------------------------------------------
+# Exact composition of consecutive preintegrations.
+#
+# The reference merges intervals by replaying the raw measurement cache
+# (IMU::Preintegrated::MergePrevious, src/ImuTypes.cc:241-263). On TPU a
+# closed-form composition is better: it is O(1) instead of O(samples), needs
+# no raw-sample storage on device, and is what lets the streaming pipeline
+# keep ONE running preintegration since the last keyframe and the map keep a
+# per-keyframe chain that can be merged when keyframes are culled.
+#
+# Derivation: with b following a (same linearization bias),
+#   dR_ab = dR_a dR_b
+#   dV_ab = dV_a + dR_a dV_b
+#   dP_ab = dP_a + dV_a dT_b + dR_a dP_b
+# First-order bias Jacobians and the 15x15 covariance compose through the
+# corresponding error-state transition F (a-part) and injection G (b-part);
+# the bias-variance feed the standalone b-part missed (its C started at
+# zero) re-enters through b's own bias Jacobians (H_b C_bb(a) H_b^T).
+# ---------------------------------------------------------------------------
+
+def compose(a: Preintegrated, b: Preintegrated) -> Preintegrated:
+    """Compose two consecutive preintegrated intervals (a then b).
+
+    Both must be linearized at the same bias (`a.b == b.b`); use
+    `rebias` first if they differ. `init_preintegrated` is the identity
+    element on either side.
+    """
+    dtype = a.dR.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((3, 3), dtype=dtype)
+    dTb = b.dT
+
+    dR = lie.normalize_rotation(a.dR @ b.dR)
+    dV = a.dV + a.dR @ b.dV
+    dP = a.dP + a.dV * dTb + a.dR @ b.dP
+
+    hat_dVb = lie.so3_hat(b.dV)
+    hat_dPb = lie.so3_hat(b.dP)
+
+    JRg = b.dR.T @ a.JRg + b.JRg
+    JVg = a.JVg + a.dR @ b.JVg - a.dR @ hat_dVb @ a.JRg
+    JVa = a.JVa + a.dR @ b.JVa
+    JPg = a.JPg + a.JVg * dTb + a.dR @ b.JPg - a.dR @ hat_dPb @ a.JRg
+    JPa = a.JPa + a.JVa * dTb + a.dR @ b.JPa
+
+    # covariance: [phi, v, p] block
+    F = jnp.block([
+        [b.dR.T,            z3,         z3],
+        [-a.dR @ hat_dVb,   eye3,       z3],
+        [-a.dR @ hat_dPb,   dTb * eye3, eye3],
+    ])
+    G = jnp.block([
+        [eye3, z3,   z3],
+        [z3,   a.dR, z3],
+        [z3,   z3,   a.dR],
+    ])
+    # bias-variance feed through interval b (b's Jacobians ARE the
+    # accumulated bias columns of its error-state transition)
+    Hb = jnp.block([
+        [b.JRg, z3],
+        [b.JVg, b.JVa],
+        [b.JPg, b.JPa],
+    ])                                                    # [9, 6]
+    C9a = a.C[:9, :9]
+    C9b = b.C[:9, :9]
+    Cbb_a = a.C[9:, 9:]
+    top = F @ C9a @ F.T + G @ (C9b + Hb @ Cbb_a @ Hb.T) @ G.T
+    bottom = Cbb_a + b.C[9:, 9:]
+    z96 = jnp.zeros((9, 6), dtype=dtype)
+    C = jnp.block([[top, z96], [z96.T, bottom]])
+
+    dT = a.dT + b.dT
+    denom = jnp.where(dT > 0, dT, 1.0)
+    avgA = (a.dT * a.avgA + dTb * (a.dR @ b.avgA)) / denom
+    avgW = (a.dT * a.avgW + dTb * b.avgW) / denom
+    return Preintegrated(
+        dR=dR, dV=dV, dP=dP, JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+        C=C, dT=dT, b=a.b, avgA=avgA, avgW=avgW)
+
+
+def rebias(pre: Preintegrated, new_bias: jnp.ndarray) -> Preintegrated:
+    """Re-linearize a preintegration at `new_bias` (first order, via the
+    stored Jacobians — the closed-form stand-in for the reference's
+    `Reintegrate` measurement replay, src/ImuTypes.cc:152-158)."""
+    return pre._replace(
+        dR=delta_rotation(pre, new_bias),
+        dV=delta_velocity(pre, new_bias),
+        dP=delta_position(pre, new_bias),
+        b=new_bias.astype(pre.b.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Device-resident per-keyframe preintegration chain (batched Preintegrated
+# with leading dim K; entry k covers the interval keyframe k-1 -> k).
+# The reference stores this as KeyFrame::mpImuPreintegrated along the
+# mPrevKF temporal chain (include/ImuTypes.h:212).
+# ---------------------------------------------------------------------------
+
+def chain_allocate(K: int, dtype=jnp.float32) -> Preintegrated:
+    one = init_preintegrated(jnp.zeros(6, dtype), dtype=dtype)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (K,) + x.shape), one)
+
+
+def chain_set(chain: Preintegrated, k, pre: Preintegrated) -> Preintegrated:
+    return jax.tree.map(lambda c, x: c.at[k].set(x), chain, pre)
+
+
+def chain_get(chain: Preintegrated, k) -> Preintegrated:
+    return jax.tree.map(lambda c: c[k], chain)
+
+
+# ---------------------------------------------------------------------------
 # Bias-corrected deltas (first-order, via the stored Jacobians)
 # (reference: src/ImuTypes.cc:288-324 GetDelta{Rotation,Velocity,Position})
 # ---------------------------------------------------------------------------

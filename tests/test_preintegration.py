@@ -191,3 +191,84 @@ class TestPreintegration:
         np.testing.assert_allclose(np.asarray(R2), Rs[-1], atol=5e-4)
         np.testing.assert_allclose(np.asarray(p2), ps[-1], atol=5e-3)
         np.testing.assert_allclose(np.asarray(v2), vs[-1], atol=5e-3)
+
+
+class TestCompose:
+    """compose(a, b) must equal integrating the concatenated sample stream
+    (the closed-form replacement for MergePrevious's measurement replay,
+    reference: src/ImuTypes.cc:241-263)."""
+
+    def _samples(self, seed=0, n=24, dt=0.005):
+        rng = np.random.default_rng(seed)
+        ws = rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+        accs = (rng.normal(0, 1.0, (n, 3)) + [0, 0, 9.81]).astype(np.float32)
+        dts = np.full(n, dt, np.float32)
+        return jnp.asarray(ws), jnp.asarray(accs), jnp.asarray(dts)
+
+    def test_compose_matches_direct(self):
+        ws, accs, dts = self._samples()
+        bias = jnp.asarray([0.01, -0.02, 0.005, 0.1, -0.05, 0.02])
+        full = pre.integrate(ws, accs, dts, bias, NOISE)
+        half = ws.shape[0] // 2
+        a = pre.integrate(ws[:half], accs[:half], dts[:half], bias, NOISE)
+        b = pre.integrate(ws[half:], accs[half:], dts[half:], bias, NOISE)
+        comp = pre.compose(a, b)
+        np.testing.assert_allclose(comp.dR, full.dR, atol=1e-5)
+        np.testing.assert_allclose(comp.dV, full.dV, atol=1e-5)
+        np.testing.assert_allclose(comp.dP, full.dP, atol=1e-5)
+        np.testing.assert_allclose(comp.dT, full.dT, atol=1e-6)
+        for name in ("JRg", "JVg", "JVa", "JPg", "JPa"):
+            np.testing.assert_allclose(
+                getattr(comp, name), getattr(full, name),
+                atol=2e-4, err_msg=name)
+        # covariance: small-angle Jr-vs-I discrepancy only
+        np.testing.assert_allclose(comp.C, full.C, atol=1e-8, rtol=2e-3)
+        np.testing.assert_allclose(comp.avgA, full.avgA, atol=1e-4)
+        np.testing.assert_allclose(comp.avgW, full.avgW, atol=1e-5)
+
+    def test_identity_element(self):
+        ws, accs, dts = self._samples(seed=1)
+        bias = jnp.zeros(6)
+        p = pre.integrate(ws, accs, dts, bias, NOISE)
+        ident = pre.init_preintegrated(bias)
+        for comp in (pre.compose(ident, p), pre.compose(p, ident)):
+            np.testing.assert_allclose(comp.dR, p.dR, atol=1e-6)
+            np.testing.assert_allclose(comp.dV, p.dV, atol=1e-6)
+            np.testing.assert_allclose(comp.dP, p.dP, atol=1e-6)
+            np.testing.assert_allclose(comp.C, p.C, atol=1e-12, rtol=1e-5)
+            np.testing.assert_allclose(comp.JPg, p.JPg, atol=1e-6)
+
+    def test_three_way_associative(self):
+        ws, accs, dts = self._samples(seed=2, n=30)
+        bias = jnp.zeros(6)
+        t1, t2 = 10, 20
+        a = pre.integrate(ws[:t1], accs[:t1], dts[:t1], bias, NOISE)
+        b = pre.integrate(ws[t1:t2], accs[t1:t2], dts[t1:t2], bias, NOISE)
+        c = pre.integrate(ws[t2:], accs[t2:], dts[t2:], bias, NOISE)
+        ab_c = pre.compose(pre.compose(a, b), c)
+        a_bc = pre.compose(a, pre.compose(b, c))
+        np.testing.assert_allclose(ab_c.dP, a_bc.dP, atol=1e-5)
+        np.testing.assert_allclose(ab_c.C, a_bc.C, atol=1e-9, rtol=1e-3)
+
+    def test_rebias_matches_reintegration(self):
+        ws, accs, dts = self._samples(seed=3)
+        b0 = jnp.zeros(6)
+        db = jnp.asarray([0.002, -0.001, 0.003, 0.01, -0.02, 0.015])
+        p0 = pre.integrate(ws, accs, dts, b0, NOISE)
+        p1 = pre.integrate(ws, accs, dts, b0 + db, NOISE)
+        pr = pre.rebias(p0, b0 + db)
+        np.testing.assert_allclose(pr.dR, p1.dR, atol=3e-4)
+        np.testing.assert_allclose(pr.dV, p1.dV, atol=3e-3)
+        np.testing.assert_allclose(pr.dP, p1.dP, atol=3e-3)
+
+    def test_chain_storage(self):
+        ws, accs, dts = self._samples(seed=4)
+        bias = jnp.zeros(6)
+        p = pre.integrate(ws, accs, dts, bias, NOISE)
+        chain = pre.chain_allocate(8)
+        chain = pre.chain_set(chain, 3, p)
+        got = pre.chain_get(chain, 3)
+        np.testing.assert_allclose(got.dP, p.dP, atol=1e-7)
+        ident = pre.chain_get(chain, 0)
+        np.testing.assert_allclose(ident.dR, np.eye(3), atol=1e-7)
+        assert float(ident.dT) == 0.0
