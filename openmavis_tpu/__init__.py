@@ -32,14 +32,27 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the full pipeline is many large jitted
 # programs; first compile on TPU takes minutes, cached reloads are seconds.
+# CPU is excluded: jaxlib 0.9.0's XLA:CPU executable deserialization
+# SIGSEGV/SIGABRTs when reading back its own cache entries (observed on the
+# 8-device test mesh), so the cache must never be active for CPU-only runs
+# such as the test suite.
 import os as _os
+
+
+def _cpu_only() -> bool:
+    plat = (_jax.config.jax_platforms
+            or _os.environ.get("JAX_PLATFORMS") or "")
+    first = plat.split(",")[0].strip().lower()
+    return first == "cpu"
+
 
 _cache_dir = _os.environ.get(
     "OPENMAVIS_JAX_CACHE", _os.path.expanduser("~/.cache/openmavis_jax"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # cache is best-effort
-    pass
+if not _cpu_only():
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        pass
 

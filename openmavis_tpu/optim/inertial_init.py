@@ -32,10 +32,43 @@ class InertialInitResult(NamedTuple):
     chi2: jnp.ndarray
 
 
+def initial_gravity_velocity(R, p, pre, edge_valid):
+    """Warm starts for the inertial init: per-keyframe velocities by finite
+    differences and the gravity-direction rotation from the accumulated
+    bias-free velocity deltas.
+
+    (reference: LocalMapping::InitializeIMU's dirG loop,
+    src/LocalMapping.cc:1301-1329 — dirG -= R_prev * dV; velocities =
+    (p2 - p1) / dT.)
+    Returns (v0 [K,3], R_wg0 [3,3]).
+    """
+    K = R.shape[0]
+    dt = jnp.maximum(pre.dT, 1e-6)
+    ev = edge_valid.astype(p.dtype)
+    vel = (p[1:] - p[:-1]) / dt[:, None] * ev[:, None]
+    v0 = jnp.zeros((K, 3), p.dtype)
+    v0 = v0.at[1:].set(vel)
+    v0 = v0.at[:-1].max(vel)  # prev KF gets the same estimate
+    dirG = -jnp.einsum("eij,ej,e->i", R[:-1], pre.dV, ev)
+    nrm = jnp.linalg.norm(dirG)
+    dirG = jnp.where(nrm > 1e-6, dirG / jnp.maximum(nrm, 1e-6),
+                     jnp.asarray([0.0, 0.0, -1.0], p.dtype))
+    gI = jnp.asarray([0.0, 0.0, -1.0], p.dtype)
+    vx = jnp.cross(gI, dirG)
+    nv = jnp.linalg.norm(vx)
+    ang = jnp.arccos(jnp.clip(jnp.dot(gI, dirG), -1.0, 1.0))
+    axis = jnp.where(nv > 1e-6, vx / jnp.maximum(nv, 1e-6),
+                     jnp.asarray([1.0, 0.0, 0.0], p.dtype))
+    R_wg0 = lie.so3_exp(axis * ang)
+    return v0, R_wg0
+
+
 def inertial_optimization(R, p, v0, pre, edge_valid,
                           fix_scale: bool = False,
                           prior_g: float = 1e2, prior_a: float = 1e6,
-                          iters: int = 60) -> InertialInitResult:
+                          iters: int = 60,
+                          R_wg0=None, bias0=None,
+                          fix_bias: bool = False) -> InertialInitResult:
     """Solve (scale, gravity dir, shared bias, velocities), poses fixed.
 
     Args:
@@ -48,6 +81,8 @@ def inertial_optimization(R, p, v0, pre, edge_valid,
     """
     K = R.shape[0]
     g0 = jnp.asarray(pre_mod.GRAVITY)
+    Rwg_base = jnp.eye(3) if R_wg0 is None else R_wg0
+    b_base = jnp.zeros(6) if bias0 is None else bias0
     info9 = jnp.linalg.inv(
         0.5 * (pre.C[..., :9, :9]
                + jnp.swapaxes(pre.C[..., :9, :9], -1, -2))
@@ -58,9 +93,12 @@ def inertial_optimization(R, p, v0, pre, edge_valid,
     def unpack(x):
         s = jnp.exp(x[0]) if not fix_scale else jnp.asarray(1.0)
         phi = jnp.concatenate([x[1:3], jnp.zeros(1)])
-        R_wg = lie.so3_exp(phi)
-        bg = x[3:6]
-        ba = x[6:9]
+        R_wg = Rwg_base @ lie.so3_exp(phi)
+        if fix_bias:
+            bg, ba = b_base[:3], b_base[3:]   # ScaleRefinement mode
+        else:
+            bg = b_base[:3] + x[3:6]
+            ba = b_base[3:] + x[6:9]
         v = x[9:].reshape(K, 3)
         return s, R_wg, bg, ba, v
 

@@ -62,18 +62,17 @@ def frame_step_multi(m: ms.MapState, images, R_pred, t_pred,
     return out + (bank,)
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
-def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
-                     rig_kind: int, n_cams: int, rig: RigParams,
-                     img_w: float, img_h: float, radius,
-                     min_last_kf=-1):
-    """Whole-map projection tracking across all camera bands + pose opt.
+def _match_bank(m: ms.MapState, bank, R_pred, t_pred, rig_kind: int,
+                n_cams: int, rig: RigParams, img_w: float, img_h: float,
+                radius, min_last_kf):
+    """Project every landmark into every camera band and match.
 
-    Returns (R, t, feat_mp [C*F], n_in, vis [M], keep_per_band).
+    Returns (idx [M] bank-global feature id or -1, matched [M] bool) —
+    the multi-camera analog of ORBmatcher::SearchByProjection over the
+    Nleft/Nright/NSL/NSR bands (reference: src/ORBmatcher.cc:99-331).
     """
     CF = bank["xy"].shape[0]
     F = CF // n_cams
-    M = m.mp_pos.shape[0]
 
     all_idx = []
     all_dist = []
@@ -97,7 +96,28 @@ def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
     dist_sc = jnp.stack(all_dist, axis=1)
     best_c = jnp.argmin(jnp.where(idx_sc >= 0, dist_sc, 1 << 20), axis=1)
     idx = jnp.take_along_axis(idx_sc, best_c[:, None], axis=1)[:, 0]
-    matched = idx >= 0
+    return idx, idx >= 0
+
+
+def _feat_mp_from(idx, keep, CF, M):
+    feat_mp = jnp.full((CF,), -1, jnp.int32)
+    return feat_mp.at[jnp.where(keep, idx, CF - 1)].max(
+        jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
+                     rig_kind: int, n_cams: int, rig: RigParams,
+                     img_w: float, img_h: float, radius,
+                     min_last_kf=-1):
+    """Whole-map projection tracking across all camera bands + pose opt.
+
+    Returns (R, t, feat_mp [C*F], n_in, vis [M], keep_per_band).
+    """
+    CF = bank["xy"].shape[0]
+    M = m.mp_pos.shape[0]
+    idx, matched = _match_bank(m, bank, R_pred, t_pred, rig_kind, n_cams,
+                               rig, img_w, img_h, radius, min_last_kf)
     safe_idx = jnp.where(matched, idx, 0)
 
     uv_obs = bank["xy"][safe_idx]
@@ -108,11 +128,42 @@ def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
         matched & m.mp_valid, rig)
 
     keep = matched & inlier
-    feat_mp = jnp.full((CF,), -1, jnp.int32)
-    feat_mp = feat_mp.at[jnp.where(keep, idx, CF - 1)].max(
-        jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
+    feat_mp = _feat_mp_from(idx, keep, CF, M)
     vis = matched  # proxy for statistics
     return R, t, feat_mp, n_in, vis, keep
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
+                        rig_kind: int, n_cams: int, rig: RigParams,
+                        img_w: float, img_h: float, radius,
+                        min_last_kf=-1):
+    """VI whole-map tracking: match from the IMU-predicted pose, then
+    optimize the FULL 15-dof state against visual matches + the
+    preintegrated edge to the anchor (last frame) + bias random walk.
+
+    (reference: TrackLocalMap's PoseInertialOptimizationLastFrame,
+    src/Optimizer.cc:5580 — the core accuracy mechanism of MAVIS: IMU
+    information constrains the per-frame pose, not just its prediction.)
+    Returns (state: pose_opt.InertialState, feat_mp, n_in, vis, keep).
+    """
+    CF = bank["xy"].shape[0]
+    M = m.mp_pos.shape[0]
+    idx, matched = _match_bank(m, bank, state_pred.R, state_pred.p,
+                               rig_kind, n_cams, rig, img_w, img_h,
+                               radius, min_last_kf)
+    safe_idx = jnp.where(matched, idx, 0)
+    uv_obs = bank["xy"][safe_idx]
+    sigma2 = bank["sigma2"][safe_idx]
+    cam_idx = bank["cam"][safe_idx]
+
+    state, inlier, n_in = pose_opt.pose_inertial_optimization(
+        state_pred, anchor, pre, m.mp_pos, cam_idx, uv_obs, sigma2,
+        matched & m.mp_valid, rig)
+
+    keep = matched & inlier
+    feat_mp = _feat_mp_from(idx, keep, CF, M)
+    return state, feat_mp, n_in, matched, keep
 
 
 @partial(jax.jit, static_argnames=("rig_kind", "pair", "n_cams"))
@@ -191,6 +242,305 @@ def stereo_spawn(m: ms.MapState, slot, rig_kind: int, n_cams: int,
     ), jnp.sum(write.astype(jnp.int32))
 
 
+def _spawn_pair_band(m: ms.MapState, slot_new, slot_ref, cam: int,
+                     n_cams: int, rig: RigParams, rig_kind: int,
+                     cap_new: int, min_parallax: float = 0.99995,
+                     max_depth: float = 60.0):
+    """Triangulate new landmarks between the `cam` band of a new KF and the
+    same band of one reference KF (temporal baseline).
+
+    (reference: LocalMapping::CreateNewMapPoints searches covisible KFs per
+    camera pair — the same-camera pairs across time,
+    src/LocalMapping.cc:395-786.)
+    """
+    CF = m.kf_xy.shape[1]
+    F = CF // n_cams
+    sl = slice(cam * F, (cam + 1) * F)
+    ref_ok = (slot_ref >= 0) & (slot_ref != slot_new)
+    slot_ref = jnp.maximum(slot_ref, 0)
+    ref_ok = ref_ok & m.kf_valid[slot_ref]
+
+    d1 = m.kf_desc[slot_new][sl]
+    d2 = m.kf_desc[slot_ref][sl]
+    un1 = ((m.kf_obs[slot_new] < 0) & m.kf_feat_valid[slot_new])[sl]
+    un2 = (((m.kf_obs[slot_ref] < 0) & m.kf_feat_valid[slot_ref])[sl]
+           & ref_ok)
+    idx, hdist = matcher.match_nn(d1, un1, d2, un2, max_dist=64,
+                                  ratio=0.9, mutual=True)
+    idx = matcher.dedup_targets(idx, hdist, F)
+    matched = idx >= 0
+    safe = jnp.where(matched, idx, 0)
+
+    # camera `cam` world poses at the two keyframes
+    R_cb, t_cb = rig.R_cb[cam], rig.t_cb[cam]
+    def cam_pose(slot):
+        R_wc = m.kf_R[slot] @ R_cb.T
+        t_wc = m.kf_t[slot] + m.kf_R[slot] @ (-R_cb.T @ t_cb)
+        return R_wc, t_wc
+    R1, t1 = cam_pose(slot_new)
+    R2, t2 = cam_pose(slot_ref)
+    R12 = R1.T @ R2
+    t12 = R1.T @ (t2 - t1)
+
+    uv1 = m.kf_xy[slot_new][sl]
+    uv2 = m.kf_xy[slot_ref][sl][safe]
+    params = jnp.broadcast_to(rig.params[cam], (F, 8))
+    X_c1, depth, tri_ok = triangulation.triangulate_matches(
+        rig_kind, params, params,
+        jnp.broadcast_to(R12, (F, 3, 3)), jnp.broadcast_to(t12, (F, 3)),
+        uv1, uv2,
+        sigma_level1=m.kf_sigma2[slot_new][sl],
+        sigma_level2=m.kf_sigma2[slot_ref][sl][safe],
+        min_cos_parallax=min_parallax)
+    good = matched & tri_ok & (depth > 0.05) & (depth < max_depth)
+
+    order = jnp.cumsum(good.astype(jnp.int32)) - 1
+    M = m.mp_pos.shape[0]
+    slot = m.n_mp + order
+    write = good & (order < cap_new) & (slot < M)
+    tgt = jnp.where(write, slot, M)
+
+    X_w = jnp.einsum("ij,fj->fi", R1, X_c1) + t1
+    mp_pos = jnp.zeros((M + 1, 3), m.mp_pos.dtype).at[tgt].set(X_w)[:M]
+    mp_desc = jnp.zeros((M + 1, 256), jnp.int8).at[tgt].set(d1)[:M]
+    newly = jnp.zeros((M + 1,), bool).at[tgt].set(write)[:M]
+
+    band = cam * F
+    return m._replace(
+        mp_pos=jnp.where(newly[:, None], mp_pos, m.mp_pos),
+        mp_desc=jnp.where(newly[:, None], mp_desc, m.mp_desc),
+        mp_valid=m.mp_valid | newly,
+        mp_first_kf=jnp.where(newly, slot_new, m.mp_first_kf),
+        mp_last_kf=jnp.where(newly, slot_new, m.mp_last_kf),
+        n_mp=m.n_mp + jnp.sum(write.astype(jnp.int32)),
+        kf_obs=m.kf_obs
+            .at[slot_new, band + jnp.arange(F)].set(
+                jnp.where(write, slot, m.kf_obs[slot_new][sl]))
+            .at[slot_ref, band + safe].max(jnp.where(write, slot, -1)),
+    ), jnp.sum(write.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "cap_new",
+                                   "n_refs"))
+def temporal_spawn_multi(m: ms.MapState, slot_new, ref_slots,
+                         rig_kind: int, n_cams: int, rig: RigParams,
+                         cap_new: int, n_refs: int = 2):
+    """Temporal triangulation for every camera band against recent KFs
+    (reference: LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:395).
+    """
+    total = jnp.zeros((), jnp.int32)
+    for c in range(n_cams):
+        for j in range(n_refs):
+            m, n = _spawn_pair_band(m, slot_new, ref_slots[j], c, n_cams,
+                                    rig, rig_kind, cap_new)
+            total = total + n
+    return ms.update_mp_geometry(m, None), total
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+def bind_landmarks_multi(m: ms.MapState, slot, rig_kind: int, n_cams: int,
+                         rig: RigParams, img_w: float, img_h: float,
+                         radius: float = 10.0, min_last_kf=-1):
+    """Associate the new KF's unbound features (all bands) with existing
+    landmarks by per-camera projection search (reference:
+    LocalMapping::SearchInNeighbors / ORBmatcher::Fuse,
+    src/LocalMapping.cc:786).
+    """
+    CF = m.kf_xy.shape[1]
+    F = CF // n_cams
+    M = m.mp_pos.shape[0]
+    bound = jnp.zeros((M,), bool).at[
+        jnp.where(m.kf_obs[slot] >= 0, m.kf_obs[slot], 0)].max(
+        m.kf_obs[slot] >= 0)
+    obs = m.kf_obs[slot]
+    found = jnp.zeros((M,), jnp.int32)
+    touched = jnp.zeros((M,), bool)
+    for c in range(n_cams):
+        sl = slice(c * F, (c + 1) * F)
+        uv_proj, lvl, vis, dist = mono.project_landmarks(
+            m, m.kf_R[slot], m.kf_t[slot], rig_kind, rig.params[c],
+            rig.R_cb[c], rig.t_cb[c], img_w, img_h)
+        vis = vis & (m.mp_last_kf >= min_last_kf) & ~bound
+        unbound = (obs[sl] < 0) & m.kf_feat_valid[slot][sl]
+        idx, hdist = matcher.match_projection(
+            uv_proj, lvl, radius, m.mp_desc, vis,
+            m.kf_xy[slot][sl], m.kf_level[slot][sl],
+            m.kf_desc[slot][sl], unbound,
+            max_dist=matcher.TH_LOW, ratio=0.9)
+        idx = matcher.dedup_targets(idx, hdist, F)
+        keep = idx >= 0
+        band_obs = obs[sl].at[jnp.where(keep, idx, F - 1)].max(
+            jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
+        obs = obs.at[c * F + jnp.arange(F)].set(band_obs)
+        tgt = jnp.where(keep, jnp.arange(M), M)
+        found = found + jnp.zeros((M + 1,), jnp.int32).at[tgt].add(1)[:M]
+        touched = touched | jnp.zeros((M + 1,), bool).at[tgt].set(keep)[:M]
+        bound = bound | jnp.zeros((M,), bool).at[
+            jnp.where(keep, jnp.arange(M), 0)].max(keep)
+    return m._replace(kf_obs=m.kf_obs.at[slot].set(obs),
+                      mp_found=m.mp_found + found,
+                      mp_last_kf=jnp.where(touched, slot, m.mp_last_kf))
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
+                      last, rig_kind: int, rig: RigParams):
+    """VI window BA over a fixed-size keyframe window with the temporal
+    inertial chain, as one device program (reference: LocalInertialBA,
+    src/Optimizer.cc:4763).
+
+    Args:
+      ids [W]: window keyframe slots (padded entries repeat the newest);
+      kf_in [W]: padded-entry mask;
+      pre_b: batched Preintegrated [W-1] (identity for padded edges);
+      edge_ok [W-1]: edge mask; last: index of the newest window entry.
+    Returns (m', bias' [6]).
+    """
+    K, CF = m.kf_obs.shape
+    W = ids.shape[0]
+    edges = ba.InertialEdges(pre=pre_b, valid=edge_ok)
+    kf_local = jnp.repeat(jnp.arange(W), CF)
+    slots = ids[kf_local]
+    featix = jnp.tile(jnp.arange(CF), W)
+    mp = m.kf_obs[slots, featix]
+    valid = ((mp >= 0) & m.kf_feat_valid[slots, featix]
+             & kf_in[kf_local])
+    mp_safe = jnp.where(valid, mp, 0)
+    valid = valid & m.mp_valid[mp_safe]
+    obs = ba.BAObservations(
+        kf=kf_local, mp=mp_safe, cam=m.kf_cam[slots, featix],
+        uv=m.kf_xy[slots, featix], sigma2=m.kf_sigma2[slots, featix],
+        valid=valid)
+    state0 = ba.BAState(
+        R=m.kf_R[ids], t=m.kf_t[ids], v=m.kf_v[ids],
+        bg=m.kf_bg[ids], ba=m.kf_ba[ids], points=m.mp_pos)
+    fixed = (jnp.arange(W) < 1) | ~kf_in
+    M = m.mp_pos.shape[0]
+    observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    state, inlier, chi = ba.bundle_adjust(
+        state0, obs, rig, fixed, point_fixed=~observed,
+        edges=edges, stages=(4, 6))
+    good = jnp.isfinite(chi)
+    # dump-slot scatter: padded window entries (duplicate ids) write to
+    # the K-th row of an extended slab and are sliced away, so they can
+    # never race the real update of the newest slot
+    ids_w = jnp.where(kf_in & good, ids, K)
+
+    def wr(slab, vals):
+        ext = jnp.concatenate([slab, slab[:1]], axis=0)
+        return ext.at[ids_w].set(vals)[:K]
+
+    m = m._replace(
+        kf_R=wr(m.kf_R, state.R), kf_t=wr(m.kf_t, state.t),
+        kf_v=wr(m.kf_v, state.v), kf_bg=wr(m.kf_bg, state.bg),
+        kf_ba=wr(m.kf_ba, state.ba),
+        mp_pos=jnp.where((observed & good)[:, None], state.points,
+                         m.mp_pos),
+        kf_obs=jnp.concatenate([m.kf_obs, m.kf_obs[:1]], axis=0).at[
+            jnp.where(kf_in[kf_local] & good, slots, K), featix].set(
+            jnp.where(valid & ~inlier, -1,
+                      m.kf_obs[slots, featix]))[:K],
+    )
+    bias = jnp.where(good,
+                     jnp.concatenate([state.bg[last], state.ba[last]]),
+                     jnp.concatenate([state0.bg[last], state0.ba[last]]))
+    return m, bias
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "fix_scale"))
+def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
+                  prior_g, prior_a, rig_kind: int, fix_scale: bool,
+                  rig: RigParams):
+    """One stage of the staged IMU initialization as ONE device program:
+    InertialOptimization (scale/gravity/bias/velocities, poses fixed) ->
+    gravity-align + scale the map -> whole-map FullInertialBA, gated on
+    the solve being sane.
+
+    (reference: LocalMapping::InitializeIMU src/LocalMapping.cc:1255 with
+    the decaying-prior VIBA schedule at 203-265; Map::ApplyScaledRotation
+    src/LocalMapping.cc:1367; Optimizer::FullInertialBA
+    src/Optimizer.cc:368.)
+
+    Operates on the FULL keyframe slab with `edge_valid` masking so every
+    stage of every tracker reuses one compiled program.
+    Args: pre_b [K-1] batched Preintegrated; first: warm-start switch
+    (True only on the initial stage); prior_g/prior_a: traced priors.
+    Returns (m', bias' [6], ok).
+    """
+    from ..optim import global_ba
+
+    K, CF = m.kf_obs.shape
+    warm_v, warm_Rwg = inertial_init.initial_gravity_velocity(
+        m.kf_R, m.kf_t, pre_b, edge_valid)
+    v0 = jnp.where(first, warm_v, m.kf_v)
+    R_wg0 = jnp.where(first, warm_Rwg, jnp.eye(3))
+    bias0 = jnp.where(first, jnp.zeros(6), bias)
+    res = inertial_init.inertial_optimization(
+        m.kf_R, m.kf_t, v0, pre_b, edge_valid, fix_scale=fix_scale,
+        prior_g=prior_g, prior_a=prior_a, R_wg0=R_wg0, bias0=bias0)
+    ok = jnp.isfinite(res.chi2) & (res.scale > 0.1)
+
+    def apply(m, bias):
+        R_gw = res.R_wg.T
+        Rn, pn, _, ptn = inertial_init.apply_scaled_rotation(
+            m.kf_R, m.kf_t, m.kf_v, m.mp_pos, R_gw, res.scale)
+        vn = jnp.einsum("ij,kj->ki", R_gw, res.v)
+        kf_in = m.kf_valid
+        m = m._replace(
+            kf_R=jnp.where(kf_in[:, None, None], Rn, m.kf_R),
+            kf_t=jnp.where(kf_in[:, None], pn, m.kf_t),
+            kf_v=jnp.where(kf_in[:, None], vn, m.kf_v),
+            mp_pos=jnp.where(m.mp_valid[:, None], ptn, m.mp_pos),
+            kf_bg=jnp.tile(res.bg, (K, 1)),
+            kf_ba=jnp.tile(res.ba, (K, 1)))
+        bias_new = jnp.concatenate([res.bg, res.ba])
+
+        # whole-map FullInertialBA (matrix-free Schur+PCG)
+        kf_local = jnp.repeat(jnp.arange(K), CF)
+        feat = jnp.tile(jnp.arange(CF), K)
+        mp = m.kf_obs[kf_local, feat]
+        valid = ((mp >= 0) & m.kf_feat_valid[kf_local, feat]
+                 & m.kf_valid[kf_local])
+        mp_safe = jnp.where(valid, mp, 0)
+        valid = valid & m.mp_valid[mp_safe]
+        obs = ba.BAObservations(
+            kf=kf_local, mp=mp_safe, cam=m.kf_cam[kf_local, feat],
+            uv=m.kf_xy[kf_local, feat],
+            sigma2=m.kf_sigma2[kf_local, feat], valid=valid)
+        # re-linearize the chain at the refreshed bias (first-order
+        # Reintegrate analog)
+        pre2 = jax.vmap(pre_mod.rebias, in_axes=(0, None))(pre_b,
+                                                           bias_new)
+        edges = ba.InertialEdges(pre=pre2, valid=edge_valid)
+        state0 = ba.BAState(
+            R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg, ba=m.kf_ba,
+            points=m.mp_pos)
+        fixed = (jnp.arange(K) < 1) | ~m.kf_valid
+        M = m.mp_pos.shape[0]
+        observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+        state, inlier, chi = global_ba.global_bundle_adjust(
+            state0, obs, rig, fixed, point_fixed=~observed,
+            edges=edges, stages=(6, 8), cg_iters=32)
+        good = jnp.isfinite(chi)
+        upd = m.kf_valid & good
+        m = m._replace(
+            kf_R=jnp.where(upd[:, None, None], state.R, m.kf_R),
+            kf_t=jnp.where(upd[:, None], state.t, m.kf_t),
+            kf_v=jnp.where(upd[:, None], state.v, m.kf_v),
+            kf_bg=jnp.where(upd[:, None], state.bg, m.kf_bg),
+            kf_ba=jnp.where(upd[:, None], state.ba, m.kf_ba),
+            mp_pos=jnp.where((observed & good)[:, None], state.points,
+                             m.mp_pos),
+            kf_obs=jnp.where(good, m.kf_obs.at[kf_local, feat].set(
+                jnp.where(valid & ~inlier, -1,
+                          m.kf_obs[kf_local, feat])), m.kf_obs))
+        m = ms.update_mp_geometry(m, None)
+        return m, bias_new
+
+    m, bias = jax.lax.cond(ok, apply, lambda m, b: (m, b), m, bias)
+    return m, bias, ok
+
+
 @dataclass
 class MultiTrackerConfig:
     img_w: int = 640
@@ -202,6 +552,10 @@ class MultiTrackerConfig:
     max_mp: int = 16384
     match_radius: float = 15.0
     relost_radius: float = 30.0
+    # frames to keep the wide search window after recovering from LOST
+    # (reference: doubled search th when recently relocalized,
+    # src/Tracking.cc:2020-2060)
+    reentry_boost_frames: int = 5
     min_inliers_track: int = 30
     local_map_window: Optional[int] = None
     fused_frontend: bool = False
@@ -214,10 +568,25 @@ class MultiTrackerConfig:
     imu_buf: int = 256                 # max samples between keyframes
     imu_init_kfs: int = 8              # KFs before IMU initialization
     use_imu: bool = True
+    # VIBA refinement schedule, seconds after the first keyframe
+    # (reference: VIBA1 at mTinit>5s, VIBA2 at >15s, LocalMapping.cc:224-265)
+    viba1_time: float = 5.0
+    viba2_time: float = 15.0
+    # mono-inertial two-view initialization thresholds
+    init_min_matches: int = 80
+    init_min_inliers: int = 50
+    # temporal triangulation: reference KFs per camera band
+    temporal_refs: int = 2
     # frames to coast in LOST before abandoning the map and spawning a
     # fresh one in the Atlas (reference: CreateMapInAtlas,
     # src/Tracking.cc:1953-1968)
     max_lost_frames: int = 20
+
+    @property
+    def metric_scale(self) -> bool:
+        """True when the rig baseline provides metric scale (any stereo
+        pair); mono-inertial estimates scale in the IMU init instead."""
+        return len(self.stereo_pairs) > 0
 
 
 class MultiTracker:
@@ -263,12 +632,20 @@ class MultiTracker:
         self.vel_R = jnp.eye(3)
         self.vel_t = jnp.zeros(3)
         self.imu_initialized = False
+        self._reentry_boost = 0
+        # staged init bookkeeping: 0 = not initialized, 1 = initial stage
+        # done, 2 = VIBA1 done, 3 = VIBA2 done (reference schedule at
+        # src/LocalMapping.cc:224-265)
+        self.viba_stage = 0
+        self.first_kf_time = None
         self.last_kf_slot = -1
         self.last_kf_time = None
         self.last_time = None
         self.ref_kf_inliers = 0
         self.n_kf = 0
         self.trajectory = []
+        self._init_bank = None          # mono-inertial two-view reference
+        self._init_time = None
         # IMU queues (host): samples since last frame and since last KF
         self._imu_frame = []
         self._imu_kf = []
@@ -323,40 +700,89 @@ class MultiTracker:
             self._imu_frame = []
             return ok
 
+        # frame-interval preintegration (always, when inertial — needed
+        # both for prediction and for the VI pose optimization edge)
+        pre_f = None
+        if cfg.use_imu and self._imu_frame and self.last_time is not None:
+            pre_f = self._integrate(self._imu_frame, time, self.last_time)
+        self._imu_frame = []
+
         # pose prediction: IMU if available+initialized, else const velocity
-        if cfg.use_imu and self.imu_initialized and self._imu_frame:
-            pre = self._integrate(self._imu_frame, time, self.last_time)
+        if self.imu_initialized and pre_f is not None:
             R_pred, t_pred, v_pred = pre_mod.predict_state(
-                self.R, self.t, self.v, pre, self.bias)
+                self.R, self.t, self.v, pre_f, self.bias)
         else:
             R_pred = self.R @ self.vel_R
             t_pred = self.t + self.R @ self.vel_t
             v_pred = self.v
-        self._imu_frame = []
+
+        # relocalization attempt when LOST (reference: Tracking.cc:3543)
+        if self.state == self.LOST and self.n_kf >= 2:
+            bank0 = concat_bands(self._ext(images))
+            self.key, sub = jax.random.split(self.key)
+            ok_r, R_r, t_r, n_r = mono.relocalize_step(
+                self.map, self._band0_feats(bank0), sub, self.rig.kind,
+                self.rig)
+            if bool(ok_r):
+                R_pred, t_pred = R_r, t_r
+                self.vel_R = jnp.eye(3)
+                self.vel_t = jnp.zeros(3)
+        else:
+            bank0 = None
 
         min_last = (-1 if cfg.local_map_window is None
                     else self.last_kf_slot - cfg.local_map_window)
-        if cfg.fused_frontend:
+        # post-recovery boost: after a LOST episode the pose/velocity are
+        # only roughly re-anchored, so search with the wide window for a
+        # few frames (reference: Tracking::TrackWithMotionModel doubles th
+        # when recently relocalized, src/Tracking.cc:2020-2060)
+        radius = (cfg.relost_radius if self._reentry_boost > 0
+                  else cfg.match_radius)
+        use_vi = self.imu_initialized and pre_f is not None
+        if use_vi:
+            bank = bank0 if bank0 is not None else concat_bands(
+                self._ext(images))
+            anchor = pose_opt.InertialState(
+                R=self.R, p=self.t, v=self.v,
+                bg=self.bias[:3], ba=self.bias[3:])
+            pred = pose_opt.InertialState(
+                R=R_pred, p=t_pred, v=v_pred,
+                bg=self.bias[:3], ba=self.bias[3:])
+            st, feat_mp, n_in, vis, keep = track_step_multi_vi(
+                self.map, bank, anchor, pred, pre_f, self.rig.kind,
+                cfg.n_cams, self.rig, float(cfg.img_w), float(cfg.img_h),
+                cfg.match_radius, min_last)
+            R, t = st.R, st.p
+        elif cfg.fused_frontend:
             R, t, feat_mp, n_in, vis, keep, bank = frame_step_multi(
                 self.map, images, R_pred, t_pred, self.rig.kind,
                 cfg.n_cams, self.rig, cfg.orb, float(cfg.img_w),
-                float(cfg.img_h), cfg.match_radius, min_last, self.dist)
+                float(cfg.img_h), radius, min_last, self.dist)
         else:
-            bank = concat_bands(self._ext(images))
+            bank = bank0 if bank0 is not None else concat_bands(
+                self._ext(images))
             R, t, feat_mp, n_in, vis, keep = track_step_multi(
                 self.map, bank, R_pred, t_pred, self.rig.kind,
                 cfg.n_cams, self.rig, float(cfg.img_w),
-                float(cfg.img_h), cfg.match_radius, min_last)
+                float(cfg.img_h), radius, min_last)
         n_in = int(n_in)
         if n_in < cfg.min_inliers_track:
+            # wide visual retry from the last confirmed pose
             R, t, feat_mp, n_in, vis, keep = track_step_multi(
                 self.map, bank, self.R, self.t, self.rig.kind, cfg.n_cams,
                 self.rig, float(cfg.img_w), float(cfg.img_h),
                 cfg.relost_radius)
             n_in = int(n_in)
+            if n_in >= cfg.min_inliers_track:
+                self._reentry_boost = cfg.reentry_boost_frames
             if n_in < cfg.min_inliers_track:
                 self.state = self.LOST
                 self.lost_frames += 1
+                if self.imu_initialized and pre_f is not None:
+                    # RECENTLY_LOST: coast on the IMU prediction so the
+                    # pose stays usable for relocalization / re-entry
+                    # (reference: Tracking.cc:1929-1940)
+                    self.R, self.t, self.v = R_pred, t_pred, v_pred
                 if (self.atlas is not None
                         and self.lost_frames > cfg.max_lost_frames
                         and self.n_kf >= 2):
@@ -366,14 +792,22 @@ class MultiTracker:
                 self._record(time)
                 self.last_time = time
                 return False
+            use_vi = False
 
         dt = max(time - (self.last_time if self.last_time is not None
                          else time - 1e-3), 1e-3)
         self.vel_R = self.R.T @ R
         self.vel_t = self.R.T @ (t - self.t)
-        self.v = (t - self.t) / dt if not self.imu_initialized else \
-            (t - self.t) / dt
+        if use_vi:
+            self.v = st.v
+            self.bias = jnp.concatenate([st.bg, st.ba])
+        else:
+            self.v = (t - self.t) / dt
         self.R, self.t = R, t
+        if self.state == self.LOST:
+            self._reentry_boost = cfg.reentry_boost_frames
+        elif self._reentry_boost > 0:
+            self._reentry_boost -= 1
         self.state = self.OK
         self.lost_frames = 0
 
@@ -382,9 +816,11 @@ class MultiTracker:
                    or n_in < cfg.kf_min_inliers_abs
                    or (cfg.use_imu and self.last_kf_time is not None
                        and time - self.last_kf_time > cfg.kf_max_interval_s))
-        if (need_kf and self.n_kf < cfg.max_kf
-                and not self.localization_only):
-            self._insert_keyframe(bank, time, feat_mp, n_in)
+        if need_kf and not self.localization_only:
+            if self.n_kf >= cfg.max_kf:
+                self._recycle_slots()
+            if self.n_kf < cfg.max_kf:
+                self._insert_keyframe(bank, time, feat_mp, n_in)
 
         self._record(time)
         self.last_time = time
@@ -472,7 +908,161 @@ class MultiTracker:
             elif mid != old_map_id:
                 self._parked_pre[mid2] = pres
 
+    def _recycle_slots(self):
+        """Compact the keyframe/landmark slabs when full (see
+        Tracker._recycle_slots), additionally welding the temporal
+        preintegration chain across dropped keyframes — the reference's
+        IMU::Preintegrated::MergePrevious (src/ImuTypes.cc:241-263),
+        realized as closed-form composition of the adjoining intervals."""
+        m = self.map
+        if int(m.kf_valid.sum()) >= self.cfg.max_kf:
+            m, _ = ms.decimate_keyframes(m, self.n_kf - 1)
+            self.map = m
+        kf_valid = np.asarray(self.map.kf_valid)
+        self.map, self.trajectory, old_of_new, new_of_old, _ = \
+            mono.recycle_map_slots(self.map, self.trajectory, self.map_id)
+        # weld the preintegration chain: new interval k covers everything
+        # between consecutive SURVIVING keyframes, i.e. the composition of
+        # all old intervals in (old_of_new[k-1], old_of_new[k]].
+        old_pre = self.kf_pre
+        n_new = int(self.map.n_kf)
+        new_pre: list = [None] * n_new
+        prev_old = -1
+        for k in range(n_new):
+            cur_old = int(old_of_new[k])
+            acc = None
+            for j in range(prev_old + 1, cur_old + 1):
+                p = old_pre[j] if j < len(old_pre) else None
+                if p is None:
+                    continue
+                acc = p if acc is None else pre_mod.compose(acc, p)
+            new_pre[k] = acc
+            prev_old = cur_old
+        self.kf_pre = new_pre
+        if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
+            self.last_kf_slot = int(new_of_old[self.last_kf_slot])
+        else:
+            self.last_kf_slot = n_new - 1
+        self.n_kf = n_new
+        self._sync_atlas()
+
+    def _band0_feats(self, bank) -> extractor.Features:
+        """View of a bank's camera-0 band as single-camera Features."""
+        F = self.cfg.orb.n_features
+        sl = slice(0, F)
+        return extractor.Features(
+            xy=bank["xy"][sl], response=jnp.zeros((F,)),
+            angle=jnp.zeros((F,)), level=bank["level"][sl],
+            sigma2=bank["sigma2"][sl], desc=bank["desc"][sl],
+            valid=bank["valid"][sl])
+
     def _initialize(self, bank, time):
+        """Initialization dispatch: rigs with overlapping pairs triangulate
+        the first frame directly (metric); mono-inertial runs two-view
+        reconstruction and recovers scale later in the IMU init."""
+        if not self.cfg.stereo_pairs:
+            return self._initialize_mono(bank, time)
+        return self._initialize_rig(bank, time)
+
+    def _initialize_mono(self, bank, time):
+        """Two-view monocular init on the camera-0 band (reference:
+        Tracking::MonocularInitialization, src/Tracking.cc:2411 — the
+        IMU_MONOCULAR entry; scale comes later from InertialOptimization
+        with fix_scale=False)."""
+        from ..solvers import two_view
+        cfg = self.cfg
+        F = cfg.orb.n_features
+        if self._init_bank is None:
+            self._init_bank, self._init_time = bank, time
+            return False
+        b0 = self._init_bank
+        idx, hdist = matcher.match_nn(
+            bank["desc"][:F], bank["valid"][:F],
+            b0["desc"][:F], b0["valid"][:F],
+            max_dist=matcher.TH_LOW, ratio=0.9, mutual=True)
+        if int((idx >= 0).sum()) < cfg.init_min_matches:
+            self._init_bank, self._init_time = bank, time
+            return False
+
+        def bearing_z1(b):
+            ray = cameras.unproject(self.rig.kind, self.rig.params[0],
+                                    b["xy"][:F])
+            z = jnp.maximum(ray[:, 2], 1e-6)
+            return ray[:, :2] / z[:, None]
+
+        matched = idx >= 0
+        safe = jnp.where(matched, idx, 0)
+        self.key, sub = jax.random.split(self.key)
+        res = two_view.reconstruct(
+            sub, bearing_z1(b0)[safe], bearing_z1(bank), matched,
+            focal=float(self.rig.params[0, 0]),
+            min_inliers=cfg.init_min_inliers)
+        if not bool(res.success):
+            return False
+        good = np.asarray(res.is_good)
+        depths = np.asarray(res.points)[:, 2]
+        med = float(np.median(depths[good])) if good.any() else 1.0
+        scale = 1.0 / max(med, 1e-6)
+        pts_c0 = np.asarray(res.points) * scale
+        R01 = np.asarray(res.R)
+        t01 = np.asarray(res.t) * scale
+        R_w1, t_w1 = R01.T, -R01.T @ t01
+
+        CF = bank["xy"].shape[0]
+        M = cfg.max_mp
+        order = np.cumsum(good) - 1
+        slot_np = np.where(good, order, -1).astype(np.int32)
+        obs1 = np.full((CF,), -1, np.int32)
+        obs1[:F] = slot_np
+        obs0 = np.full((CF,), -1, np.int32)
+        idx_np = np.asarray(idx)
+        sel = good & (idx_np >= 0)
+        obs0[idx_np[sel]] = slot_np[sel]
+        n_new = int(good.sum())
+
+        m = self.map
+        write = jnp.asarray(good) & (jnp.asarray(order) < M)
+        tgt = jnp.where(write, jnp.asarray(slot_np), M)
+        mp_pos = jnp.zeros((M + 1, 3)).at[tgt].set(
+            jnp.asarray(pts_c0))[:M]
+        mp_desc = jnp.zeros((M + 1, 256), jnp.int8).at[tgt].set(
+            bank["desc"][:F])[:M]
+        newly = jnp.zeros((M + 1,), bool).at[tgt].set(write)[:M]
+        m = m._replace(
+            mp_pos=jnp.where(newly[:, None], mp_pos, m.mp_pos),
+            mp_desc=jnp.where(newly[:, None], mp_desc, m.mp_desc),
+            mp_valid=newly, n_mp=jnp.asarray(n_new, jnp.int32))
+        z3 = jnp.zeros(3)
+        m = ms.insert_keyframe(
+            m, 0, jnp.eye(3), z3, z3, z3, z3, self._init_time,
+            b0["xy"], b0["desc"], b0["level"], b0["sigma2"], b0["cam"],
+            b0["valid"], jnp.asarray(obs0))
+        m = ms.insert_keyframe(
+            m, 1, jnp.asarray(R_w1), jnp.asarray(t_w1), z3, z3, z3, time,
+            bank["xy"], bank["desc"], bank["level"], bank["sigma2"],
+            bank["cam"], bank["valid"], jnp.asarray(obs1))
+        m = ms.update_mp_geometry(m, None)
+        self.map, _ = mono.local_ba_step(m, jnp.asarray(1), self.rig.kind,
+                                         self.rig, window=2)
+        self.R = jnp.asarray(R_w1)
+        self.t = jnp.asarray(t_w1)
+        self.last_kf_slot = 1
+        self.last_kf_time = time
+        self.first_kf_time = self._init_time
+        self.n_kf = 2
+        self.ref_kf_inliers = n_new
+        # KF0 has no preceding interval; KF0->KF1 covers the init gap
+        if cfg.use_imu and self._imu_kf and self._init_time is not None:
+            self.kf_pre = [None, self._integrate(self._imu_kf, time,
+                                                 self._init_time)]
+        else:
+            self.kf_pre = [None, None]
+        self._imu_kf = []
+        self._init_bank = None
+        self.state = self.OK
+        return True
+
+    def _initialize_rig(self, bank, time):
         """Multi-camera init: stereo-triangulate the first frame directly
         (reference: MultiInitialization, Tracking.cc:2339 — metric scale
         from the rig baseline, no two-view RANSAC needed)."""
@@ -495,6 +1085,7 @@ class MultiTracker:
         self.map = ms.update_mp_geometry(m, None)
         self.last_kf_slot = 0
         self.last_kf_time = time
+        self.first_kf_time = time
         self.n_kf = 1
         self.ref_kf_inliers = total
         self.kf_pre = [None]
@@ -510,13 +1101,24 @@ class MultiTracker:
             self.map, slot, self.R, self.t, self.v, self.bias[:3],
             self.bias[3:], time, bank["xy"], bank["desc"], bank["level"],
             bank["sigma2"], bank["cam"], bank["valid"], feat_mp)
-        # intra-rig stereo points (metric) + temporal points per camera
+        # intra-rig stereo points (metric) ...
         for pair in cfg.stereo_pairs:
             self.map, _ = stereo_spawn(
                 self.map, jnp.asarray(slot), self.rig.kind, cfg.n_cams,
                 self.rig, pair, cap_new=cfg.new_mp_cap)
+        # ... plus temporal points per camera band against recent KFs
+        # (reference: CreateNewMapPoints, src/LocalMapping.cc:395)
+        refs = jnp.asarray([slot - 1 - j for j in range(cfg.temporal_refs)],
+                           dtype=jnp.int32)
+        self.map, _ = temporal_spawn_multi(
+            self.map, jnp.asarray(slot), refs, self.rig.kind, cfg.n_cams,
+            self.rig, cfg.new_mp_cap, n_refs=cfg.temporal_refs)
+        self.map = bind_landmarks_multi(
+            self.map, jnp.asarray(slot), self.rig.kind, cfg.n_cams,
+            self.rig, float(cfg.img_w), float(cfg.img_h))
         self.map = mono.fuse_new_landmarks(self.map, jnp.asarray(slot),
                                            cap=cfg.new_mp_cap)
+        self.map = mono.cull_landmarks(self.map, jnp.asarray(slot))
         self.map = ms.update_mp_geometry(self.map, None)
 
         # preintegration for this KF interval
@@ -535,14 +1137,42 @@ class MultiTracker:
                 self.map, jnp.asarray(slot), self.rig.kind, self.rig,
                 window=cfg.ba_window)
 
+        # redundant-keyframe culling with preintegration chain merge
+        # (reference: KeyFrameCulling + MergePrevious,
+        # src/LocalMapping.cc:974, src/ImuTypes.cc:241)
+        self.map, culled = mono.cull_keyframes(self.map, jnp.asarray(slot))
+        culled = int(culled)
+        if culled >= 0 and culled + 1 < len(self.kf_pre):
+            a = self.kf_pre[culled]
+            b = self.kf_pre[culled + 1]
+            if a is not None and b is not None:
+                self.kf_pre[culled + 1] = pre_mod.compose(a, b)
+            elif a is not None:
+                self.kf_pre[culled + 1] = a
+            self.kf_pre[culled] = None
+
         self.last_kf_slot = slot
         self.last_kf_time = time
         self.n_kf += 1
         self.ref_kf_inliers = max(n_in, 1)
 
-        if (cfg.use_imu and not self.imu_initialized
-                and self.n_kf >= cfg.imu_init_kfs):
-            self._initialize_imu()
+        # staged IMU initialization + VIBA refinement schedule
+        # (reference: InitializeIMU at LocalMapping.cc:203-265 — initial
+        # stage priors 1e2/1e5(stereo)|1e10(mono), VIBA1 at 5 s with
+        # 1.0/1e5, VIBA2 at 15 s with 0/0, each followed by FullInertialBA)
+        if cfg.use_imu:
+            tinit = (time - self.first_kf_time
+                     if self.first_kf_time is not None else 0.0)
+            if self.viba_stage == 0 and self.n_kf >= cfg.imu_init_kfs:
+                pa = 1e5 if cfg.metric_scale else 1e10
+                if self._imu_init_stage(1e2, pa, first=True):
+                    self.viba_stage = 1
+            elif self.viba_stage == 1 and tinit > cfg.viba1_time:
+                if self._imu_init_stage(1.0, 1e5, first=False):
+                    self.viba_stage = 2
+            elif self.viba_stage == 2 and tinit > cfg.viba2_time:
+                if self._imu_init_stage(0.0, 0.0, first=False):
+                    self.viba_stage = 3
 
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
@@ -573,91 +1203,78 @@ class MultiTracker:
         self.t = self.map.kf_t[slot]
         self.v = self.map.kf_v[slot]
 
-    def _initialize_imu(self):
-        """Staged IMU init (reference: LocalMapping::InitializeIMU)."""
-        cfg = self.cfg
-        K = self.n_kf
-        pres = [p for p in self.kf_pre[1:K] if p is not None]
-        if len(pres) < K - 1 or K < 3:
-            return
+    def _kf_pre_batch(self, K):
+        """Stack the temporal preintegration chain [1, K) into one batched
+        Preintegrated + validity mask (None entries become the identity
+        interval with valid=False)."""
+        ident = pre_mod.init_preintegrated(self.bias)
+        pres, valid = [], []
+        for k in range(1, K):
+            p = self.kf_pre[k] if k < len(self.kf_pre) else None
+            pres.append(p if p is not None else ident)
+            valid.append(p is not None)
         pre_b = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
-        m = self.map
-        res = inertial_init.inertial_optimization(
-            m.kf_R[:K], m.kf_t[:K], m.kf_v[:K], pre_b,
-            jnp.ones((K - 1,), bool), fix_scale=True)  # metric rig scale
-        if not bool(jnp.isfinite(res.chi2)):
-            return
-        # gravity-align the map: world' = R_gw world
-        R_gw = res.R_wg.T
-        Rn, pn, vn, ptn = inertial_init.apply_scaled_rotation(
-            m.kf_R, m.kf_t,
-            m.kf_v.at[:K].set(res.v), m.mp_pos, R_gw, jnp.asarray(1.0))
-        self.map = m._replace(
-            kf_R=Rn, kf_t=pn, kf_v=vn, mp_pos=ptn,
-            kf_bg=jnp.tile(res.bg, (m.kf_bg.shape[0], 1)),
-            kf_ba=jnp.tile(res.ba, (m.kf_ba.shape[0], 1)))
-        self.bias = jnp.concatenate([res.bg, res.ba])
+        return pre_b, jnp.asarray(valid)
+
+    def _imu_init_stage(self, prior_g, prior_a, first: bool) -> bool:
+        """One stage of the staged IMU initialization, delegated to the
+        shared device program `imu_init_step` (InertialOptimization ->
+        gravity-align -> FullInertialBA; reference:
+        LocalMapping::InitializeIMU src/LocalMapping.cc:1255, priors per
+        the VIBA schedule at 203-265)."""
+        cfg = self.cfg
+        if self.n_kf < 3:
+            return False
+        K = cfg.max_kf
+        pre_b, edge_valid = self._kf_pre_batch(K)
+        edge_valid = edge_valid & (jnp.arange(1, K) < self.n_kf)
+        if int(edge_valid.sum()) < self.n_kf - 2:
+            return False
+        m2, bias2, ok = imu_init_step(
+            self.map, pre_b, edge_valid, self.bias,
+            jnp.asarray(bool(first)), jnp.asarray(max(prior_g, 0.0)),
+            jnp.asarray(max(prior_a, 0.0)), self.rig.kind,
+            cfg.metric_scale, self.rig)
+        if not bool(ok):
+            return False
+        self.map = m2
         self.R = self.map.kf_R[self.last_kf_slot]
         self.t = self.map.kf_t[self.last_kf_slot]
         self.v = self.map.kf_v[self.last_kf_slot]
+        self.bias = jnp.concatenate(
+            [self.map.kf_bg[self.last_kf_slot],
+             self.map.kf_ba[self.last_kf_slot]])
         self.imu_initialized = True
+        return True
 
     def _vi_local_ba(self, newest):
-        """VI window BA using the stored preintegration chain."""
+        """VI window BA using the stored preintegration chain.
+
+        The window is PADDED to the constant cfg.ba_window size with
+        invalid slots and the whole update runs as ONE jitted program
+        (vi_window_ba_step), so every keyframe insert reuses one compiled
+        XLA program regardless of how full the window is."""
         cfg = self.cfg
         W = cfg.ba_window
+        if newest < 1:
+            return
         lo = max(newest - W + 1, 0)
         w_ids = list(range(lo, newest + 1))
-        if len(w_ids) < 2:
-            return
-        pres = []
-        ok = True
-        for k in w_ids[1:]:
-            if k >= len(self.kf_pre) or self.kf_pre[k] is None:
-                ok = False
-                break
-            pres.append(self.kf_pre[k])
-        if not ok:
+        have_pre = all(k < len(self.kf_pre) and self.kf_pre[k] is not None
+                       for k in w_ids[1:])
+        if not have_pre:
             self.map, _ = mono.local_ba_step(
                 self.map, jnp.asarray(newest), self.rig.kind, self.rig,
                 window=W)
             return
-        m = self.map
-        ids = jnp.asarray(w_ids)
+        n_w = len(w_ids)
+        ident = pre_mod.init_preintegrated(self.bias)
+        pres = [self.kf_pre[k] for k in w_ids[1:]]
+        pres += [ident] * (W - 1 - len(pres))
+        edge_ok = [True] * (n_w - 1) + [False] * (W - n_w)
+        ids = jnp.asarray(w_ids + [newest] * (W - n_w))
+        kf_in = jnp.asarray([True] * n_w + [False] * (W - n_w))
         pre_b = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
-        edges = ba.InertialEdges(pre=pre_b,
-                                 valid=jnp.ones((len(pres),), bool))
-
-        K, CF = m.kf_obs.shape
-        Wn = len(w_ids)
-        kf_local = jnp.repeat(jnp.arange(Wn), CF)
-        slots = ids[kf_local]
-        featix = jnp.tile(jnp.arange(CF), Wn)
-        mp = m.kf_obs[slots, featix]
-        valid = (mp >= 0) & m.kf_feat_valid[slots, featix]
-        mp_safe = jnp.where(valid, mp, 0)
-        valid = valid & m.mp_valid[mp_safe]
-        obs = ba.BAObservations(
-            kf=kf_local, mp=mp_safe, cam=m.kf_cam[slots, featix],
-            uv=m.kf_xy[slots, featix], sigma2=m.kf_sigma2[slots, featix],
-            valid=valid)
-        state0 = ba.BAState(
-            R=m.kf_R[ids], t=m.kf_t[ids], v=m.kf_v[ids],
-            bg=m.kf_bg[ids], ba=m.kf_ba[ids], points=m.mp_pos)
-        fixed = jnp.arange(Wn) < 1
-        M = m.mp_pos.shape[0]
-        observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
-        state, inlier, chi = ba.bundle_adjust(
-            state0, obs, self.rig, fixed, point_fixed=~observed,
-            edges=edges, stages=(4, 6))
-        self.map = m._replace(
-            kf_R=m.kf_R.at[ids].set(state.R),
-            kf_t=m.kf_t.at[ids].set(state.t),
-            kf_v=m.kf_v.at[ids].set(state.v),
-            kf_bg=m.kf_bg.at[ids].set(state.bg),
-            kf_ba=m.kf_ba.at[ids].set(state.ba),
-            mp_pos=jnp.where(observed[:, None], state.points, m.mp_pos),
-            kf_obs=m.kf_obs.at[slots, featix].set(
-                jnp.where(valid & ~inlier, -1, m.kf_obs[slots, featix])),
-        )
-        self.bias = jnp.concatenate([state.bg[-1], state.ba[-1]])
+        self.map, self.bias = vi_window_ba_step(
+            self.map, ids, kf_in, pre_b, jnp.asarray(edge_ok),
+            jnp.asarray(n_w - 1), self.rig.kind, self.rig)

@@ -59,27 +59,36 @@ class System:
                            Sensor.IMU_MULTI)
 
         overrides = tracker_overrides or {}
-        if multi:
+        if multi or sensor == Sensor.IMU_MONOCULAR:
+            # IMU_MONOCULAR rides the inertial tracker as a 1-camera rig
+            # with two-view init + scale-from-IMU (reference:
+            # Examples/Monocular-Inertial/mono_inertial_tum_vi.cc)
+            default_pairs = ((0, 1),) if n_cams >= 2 else ()
+            if sensor == Sensor.IMU_MONOCULAR:
+                default_pairs = ()
             cfg = multi_tracking.MultiTrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 n_cams=n_cams,
                 stereo_pairs=tuple(overrides.pop(
-                    "stereo_pairs", ((0, 1),) if n_cams >= 2 else ())),
+                    "stereo_pairs", default_pairs)),
                 orb=s["orb"], use_imu=inertial,
                 imu_freq=s["imu_frequency"],
                 **overrides)
             lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig,
-                                          inertial=inertial)
+                                          inertial=inertial,
+                                          img_w=s["camera_width"],
+                                          img_h=s["camera_height"])
                   if enable_loop_closing else None)
             self.tracker = multi_tracking.MultiTracker(
                 rig, cfg, noise=s["imu_noise"], seed=seed, loop_closer=lc,
                 atlas=atlas_mod.Atlas(), dist=s["dist"])
-        elif sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR,
-                        Sensor.RGBD):
+        elif sensor in (Sensor.MONOCULAR, Sensor.RGBD):
             cfg = tracking.TrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 orb=s["orb"], **overrides)
-            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig)
+            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig,
+                                          img_w=s["camera_width"],
+                                          img_h=s["camera_height"])
                   if enable_loop_closing else None)
             self.tracker = tracking.Tracker(rig, cfg, seed=seed,
                                             loop_closer=lc,
@@ -92,8 +101,19 @@ class System:
         self._shutdown = False
 
     # -- per-frame entry points (reference System.h:88-129) ---------------
-    def track_monocular(self, image, timestamp: float) -> bool:
-        assert self.sensor == Sensor.MONOCULAR
+    def track_monocular(self, image, timestamp: float,
+                        imu_samples=None) -> bool:
+        """Single image; `imu_samples` iterable of (w, a, t) for
+        IMU_MONOCULAR (reference: System::TrackMonocular,
+        include/System.h:103)."""
+        assert self.sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        if self.sensor == Sensor.IMU_MONOCULAR:
+            if imu_samples is not None:
+                for (w, a, t) in imu_samples:
+                    self.tracker.feed_imu(w, a, t)
+            with self.timer.stage("track"):
+                return self.tracker.process_frame(
+                    jnp.asarray(image)[None], timestamp)
         with self.timer.stage("track"):
             return self.tracker.process_frame(jnp.asarray(image),
                                               timestamp)

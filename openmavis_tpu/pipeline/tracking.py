@@ -352,7 +352,8 @@ def cull_keyframes(m: ms.MapState, current_slot, keep_recent: int = 5,
     # clear its observations so landmark statistics stay consistent
     kf_obs = m.kf_obs.at[worst].set(
         jnp.where(do, jnp.full((F,), -1, jnp.int32), m.kf_obs[worst]))
-    return m._replace(kf_valid=kf_valid, kf_obs=kf_obs)
+    culled = jnp.where(do, worst, -1).astype(jnp.int32)
+    return m._replace(kf_valid=kf_valid, kf_obs=kf_obs), culled
 
 
 @partial(jax.jit, static_argnames=("rig_kind",))
@@ -536,6 +537,50 @@ def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
         kf_obs=m.kf_obs.at[kf_local, feat].set(
             jnp.where(valid & ~inlier, -1, m.kf_obs[kf_local, feat])))
     return m, chi
+
+
+def recycle_map_slots(m: ms.MapState, trajectory, map_id: int):
+    """Re-base trajectory entries off culled reference keyframes, then
+    compact the keyframe and landmark slabs so culled slots are reusable.
+
+    This is what makes the fixed-capacity slabs an UNBOUNDED-sequence map:
+    the reference deletes keyframes (LocalMapping::KeyFrameCulling,
+    src/LocalMapping.cc:974) and lets the pointer graph shrink; here the
+    equivalent is compaction + slot reuse.
+    Returns (m', trajectory', old_of_new, new_of_old, n_mp).
+    """
+    kf_valid = np.asarray(m.kf_valid)
+    kf_R = np.asarray(m.kf_R)
+    kf_t = np.asarray(m.kf_t)
+    K = kf_valid.shape[0]
+    # nearest preceding valid slot per slot (numpy mirror of the device
+    # new_of_old computation, needed to re-express relative poses)
+    order = np.cumsum(kf_valid.astype(np.int64)) - 1
+    prev_valid = np.full((K,), 0, np.int64)
+    last = 0
+    for k in range(K):
+        if kf_valid[k]:
+            last = k
+        prev_valid[k] = last
+
+    traj2 = []
+    for (tm, mid, ref, R_rel, t_rel) in trajectory:
+        if mid == map_id and not kf_valid[ref]:
+            ref2 = int(prev_valid[ref])
+            R_w = kf_R[ref] @ R_rel
+            t_w = kf_t[ref] + kf_R[ref] @ t_rel
+            R_rel = kf_R[ref2].T @ R_w
+            t_rel = kf_R[ref2].T @ (t_w - kf_t[ref2])
+            ref = ref2
+        traj2.append((tm, mid, ref, R_rel, t_rel))
+
+    m, old_of_new, new_of_old = ms.compact_keyframes(m)
+    new_of_old_np = np.asarray(new_of_old)
+    traj3 = [(tm, mid, int(new_of_old_np[ref]) if mid == map_id else ref,
+              R_rel, t_rel)
+             for (tm, mid, ref, R_rel, t_rel) in traj2]
+    m, n_mp = ms.compact_landmarks(m)
+    return m, traj3, np.asarray(old_of_new), new_of_old_np, int(n_mp)
 
 
 # ---------------------------------------------------------------------------
@@ -849,9 +894,11 @@ class Tracker:
         need_kf = (n_in < cfg.kf_min_inlier_frac
                    * max(self.ref_kf_inliers, 1)
                    or n_in < cfg.kf_min_inliers_abs)
-        if (need_kf and self.n_kf < cfg.max_kf
-                and not self.localization_only):
-            self._insert_keyframe(feats, time, feat_mp, n_in)
+        if need_kf and not self.localization_only:
+            if self.n_kf >= cfg.max_kf:
+                self._recycle_slots()
+            if self.n_kf < cfg.max_kf:
+                self._insert_keyframe(feats, time, feat_mp, n_in)
 
         self._record(time)
         return True
@@ -914,6 +961,23 @@ class Tracker:
                 fixed.append((tm, mid2, ref, R_rel, t_rel))
         self.trajectory = fixed
 
+    def _recycle_slots(self):
+        """Free keyframe/landmark slots when the slab is full: compact the
+        culled slots out; if culling never freed anything, temporally
+        decimate the old half of the map first (long-term map thinning).
+        Keeps the fixed-capacity slabs usable on unbounded sequences
+        (reference deletes KFs outright: src/LocalMapping.cc:974)."""
+        m = self.map
+        if int(m.kf_valid.sum()) >= self.cfg.max_kf:
+            m, _ = ms.decimate_keyframes(m, self.n_kf - 1)
+            self.map = m
+        self.map, self.trajectory, _, new_of_old, _ = recycle_map_slots(
+            self.map, self.trajectory, self.map_id)
+        if self.last_kf_slot >= 0:
+            self.last_kf_slot = int(new_of_old[self.last_kf_slot])
+        self.n_kf = int(self.map.n_kf)
+        self._sync_atlas()
+
     def _insert_keyframe(self, feats, time, feat_mp, n_in):
         cfg = self.cfg
         slot = self.n_kf
@@ -946,7 +1010,7 @@ class Tracker:
         self.map = fuse_new_landmarks(self.map, jnp.asarray(slot),
                                       cap=cfg.new_mp_cap)
         self.map = cull_landmarks(self.map, jnp.asarray(slot))
-        self.map = cull_keyframes(self.map, jnp.asarray(slot))
+        self.map, _ = cull_keyframes(self.map, jnp.asarray(slot))
         self.map, _ = local_ba_step(
             self.map, jnp.asarray(slot), self.rig.kind, self.rig,
             window=cfg.ba_window)

@@ -202,6 +202,101 @@ def update_mp_geometry(m: MapState, mp_ids: jnp.ndarray,
         mp_dmin=jnp.where(has_obs, jnp.maximum(dmin, 1e-4), m.mp_dmin))
 
 
+def compact_keyframes(m: MapState):
+    """Pack valid keyframes to the front of the slab, preserving temporal
+    order, so culled slots become reusable.
+
+    The reference deletes KeyFrame objects outright
+    (KeyFrame::SetBadFlag + erase, src/LocalMapping.cc:974); with
+    fixed-capacity slabs the equivalent is periodic compaction — a pure
+    gather, cheap on TPU. Returns (m', old_of_new [K], new_of_old [K]):
+    `new_of_old[k]` is the new slot of old keyframe k, or the new slot of
+    the nearest PRECEDING valid keyframe if k was culled (so relative-pose
+    trajectory references stay meaningful), clamped to 0.
+    """
+    K, F = m.kf_obs.shape
+    valid = m.kf_valid
+    order = jnp.cumsum(valid.astype(jnp.int32)) - 1   # new slot per old
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # old slot per new position (scatter; unused new slots point at K)
+    old_of_new = jnp.full((K + 1,), 0, jnp.int32).at[
+        jnp.where(valid, order, K)].set(jnp.arange(K, dtype=jnp.int32))
+    old_of_new = old_of_new[:K]
+    used = jnp.arange(K) < n_valid
+    new_of_old = jnp.maximum(order, 0)
+
+    def gather(x):
+        return x[old_of_new]
+
+    m2 = m._replace(
+        kf_R=gather(m.kf_R), kf_t=gather(m.kf_t), kf_v=gather(m.kf_v),
+        kf_bg=gather(m.kf_bg), kf_ba=gather(m.kf_ba),
+        kf_time=gather(m.kf_time),
+        kf_valid=used,
+        kf_xy=gather(m.kf_xy), kf_desc=gather(m.kf_desc),
+        kf_level=gather(m.kf_level), kf_sigma2=gather(m.kf_sigma2),
+        kf_cam=gather(m.kf_cam),
+        kf_feat_valid=gather(m.kf_feat_valid) & used[:, None],
+        kf_obs=jnp.where(used[:, None], gather(m.kf_obs), -1),
+        mp_first_kf=new_of_old[jnp.clip(m.mp_first_kf, 0, K - 1)],
+        mp_last_kf=new_of_old[jnp.clip(m.mp_last_kf, 0, K - 1)],
+        n_kf=n_valid,
+    )
+    return m2, old_of_new, new_of_old
+
+
+def compact_landmarks(m: MapState):
+    """Pack valid landmarks to the front and remap the observation table.
+    Returns (m', n_valid)."""
+    K, F = m.kf_obs.shape
+    M = m.mp_pos.shape[0]
+    valid = m.mp_valid
+    order = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    old_of_new = jnp.full((M + 1,), 0, jnp.int32).at[
+        jnp.where(valid, order, M)].set(jnp.arange(M, dtype=jnp.int32))
+    old_of_new = old_of_new[:M]
+    used = jnp.arange(M) < n_valid
+    # old id -> new id (-1 for culled)
+    new_of_old = jnp.where(valid, order, -1)
+
+    def gather(x):
+        return x[old_of_new]
+
+    obs = m.kf_obs
+    obs = jnp.where(obs >= 0, new_of_old[jnp.maximum(obs, 0)], -1)
+    return m._replace(
+        mp_pos=gather(m.mp_pos), mp_desc=gather(m.mp_desc),
+        mp_normal=gather(m.mp_normal), mp_dmin=gather(m.mp_dmin),
+        mp_dmax=gather(m.mp_dmax),
+        mp_valid=used,
+        mp_visible=jnp.where(used, gather(m.mp_visible), 0),
+        mp_found=jnp.where(used, gather(m.mp_found), 0),
+        mp_first_kf=jnp.where(used, gather(m.mp_first_kf), 0),
+        mp_last_kf=jnp.where(used, gather(m.mp_last_kf), 0),
+        kf_obs=obs,
+        n_mp=n_valid,
+    ), n_valid
+
+
+def decimate_keyframes(m: MapState, current_slot, keep_recent: int = 8,
+                       keep_first: int = 2):
+    """Emergency slot reclamation when the slab is full and redundancy
+    culling freed nothing: invalidate every second keyframe in the old
+    half of the history (temporally-decimated long-term map). Returns
+    (m', n_culled)."""
+    K, F = m.kf_obs.shape
+    idx = jnp.arange(K)
+    protected = ((idx < keep_first)
+                 | (idx > current_slot - keep_recent)
+                 | ~m.kf_valid)
+    old_half = idx < (current_slot // 2)
+    drop = ~protected & old_half & (idx % 2 == 1)
+    kf_valid = m.kf_valid & ~drop
+    kf_obs = jnp.where(drop[:, None], -1, m.kf_obs)
+    return m._replace(kf_valid=kf_valid, kf_obs=kf_obs), drop
+
+
 def predict_scale_level(dist, dmax, scale: float = 1.2,
                         n_levels: int = 8) -> jnp.ndarray:
     """Predicted pyramid level from distance (MapPoint::PredictScale)."""

@@ -21,3 +21,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# NOTE: do NOT enable jax_compilation_cache_dir here. jaxlib 0.9.0's CPU
+# executable deserialization aborts the process (SIGABRT in
+# compilation_cache.get_executable_and_time) when reading back its own
+# entries, so the persistent cache cannot be used on the test mesh. Suite
+# time is managed by marking heavyweight end-to-end tests `slow` instead.

@@ -77,10 +77,125 @@ class TestCulling:
             kf_feat_valid=jnp.ones((K, F), bool),
             mp_valid=m.mp_valid.at[:16].set(True),
             n_kf=jnp.asarray(7, jnp.int32))
-        out = tracking.cull_keyframes(m, jnp.asarray(20), keep_recent=2)
+        out, culled = tracking.cull_keyframes(m, jnp.asarray(20),
+                                              keep_recent=2)
         # one of the redundant KFs 2..5 culled, KF 6 kept
         assert int(out.kf_valid[2:6].sum()) == 3
         assert bool(out.kf_valid[6])
+        assert 2 <= int(culled) <= 5
+        assert not bool(out.kf_valid[int(culled)])
+
+
+class TestRecycling:
+    """Slot recycling: compaction of culled keyframes/landmarks so
+    fixed-capacity slabs survive unbounded sequences (reference deletes
+    KFs outright, src/LocalMapping.cc:974)."""
+
+    def _populated(self, K=8, F=8, M=32):
+        m = small_map(K, F, M)
+        key = jax.random.PRNGKey(1)
+        R = jnp.tile(jnp.eye(3), (K, 1, 1))
+        t = jax.random.normal(key, (K, 3))
+        obs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (K, F)),
+            jax.random.randint(key, (K, F), 0, 12), -1)
+        m = m._replace(
+            kf_R=R, kf_t=t,
+            kf_time=jnp.arange(K, dtype=jnp.float32),
+            kf_valid=jnp.ones((K,), bool),
+            kf_feat_valid=jnp.ones((K, F), bool),
+            kf_obs=obs,
+            mp_pos=jax.random.normal(key, (M, 3)),
+            mp_valid=(jnp.arange(M) < 12),
+            mp_first_kf=jnp.clip(jnp.arange(M) % K, 0, K - 1),
+            mp_last_kf=jnp.clip(jnp.arange(M) % K + 1, 0, K - 1),
+            n_kf=jnp.asarray(K, jnp.int32),
+            n_mp=jnp.asarray(12, jnp.int32))
+        return m
+
+    def test_compact_keyframes(self):
+        m = self._populated()
+        # cull slots 2 and 5
+        m = m._replace(
+            kf_valid=m.kf_valid.at[2].set(False).at[5].set(False),
+            kf_obs=m.kf_obs.at[2].set(-1).at[5].set(-1))
+        out, old_of_new, new_of_old = ms.compact_keyframes(m)
+        assert int(out.n_kf) == 6
+        assert bool(out.kf_valid[:6].all()) and not bool(
+            out.kf_valid[6:].any())
+        # survivors keep their data, in temporal order
+        old_order = [0, 1, 3, 4, 6, 7]
+        np.testing.assert_array_equal(np.asarray(old_of_new)[:6],
+                                      old_order)
+        np.testing.assert_allclose(np.asarray(out.kf_t[:6]),
+                                   np.asarray(m.kf_t)[old_order])
+        np.testing.assert_array_equal(np.asarray(out.kf_obs[:6]),
+                                      np.asarray(m.kf_obs)[old_order])
+        # culled slot maps to nearest preceding survivor
+        nol = np.asarray(new_of_old)
+        assert nol[2] == nol[1] and nol[5] == nol[4]
+
+    def test_compact_landmarks_remaps_obs(self):
+        m = self._populated()
+        kill = jnp.asarray([1, 4, 7])
+        m = m._replace(mp_valid=m.mp_valid.at[kill].set(False))
+        out, n_mp = ms.compact_landmarks(m)
+        assert int(n_mp) == 9
+        # every surviving observation points at the same 3D point
+        old_obs = np.asarray(m.kf_obs)
+        new_obs = np.asarray(out.kf_obs)
+        old_pos = np.asarray(m.mp_pos)
+        new_pos = np.asarray(out.mp_pos)
+        mp_valid = np.asarray(m.mp_valid)
+        for k in range(old_obs.shape[0]):
+            for f in range(old_obs.shape[1]):
+                j = old_obs[k, f]
+                if j >= 0 and mp_valid[j]:
+                    assert new_obs[k, f] >= 0
+                    np.testing.assert_allclose(new_pos[new_obs[k, f]],
+                                               old_pos[j])
+                else:
+                    assert new_obs[k, f] == -1
+
+    def test_decimate_frees_slots(self):
+        m = self._populated()
+        out, drop = ms.decimate_keyframes(m, jnp.asarray(7),
+                                          keep_recent=2, keep_first=1)
+        assert int(out.kf_valid.sum()) < 8
+        assert bool(out.kf_valid[0])          # first KFs protected
+        assert bool(out.kf_valid[7]) and bool(out.kf_valid[6])
+
+    def test_recycle_preserves_trajectory(self):
+        m = self._populated()
+        m = m._replace(
+            kf_R=jax.vmap(lambda i: jnp.eye(3) * jnp.cos(i * 0.1)
+                          + jnp.sin(i * 0.1) * jnp.asarray(
+                              [[0., -1, 0], [1, 0, 0], [0, 0, 0]])
+                          + (1 - jnp.cos(i * 0.1)) * jnp.asarray(
+                              [[0., 0, 0], [0, 0, 0], [0, 0, 1]]))(
+                jnp.arange(8, dtype=jnp.float32)),
+            kf_valid=m.kf_valid.at[3].set(False),
+            kf_obs=m.kf_obs.at[3].set(-1))
+        # trajectory entries referencing culled KF 3 and survivor 4
+        kf_R = np.asarray(m.kf_R)
+        kf_t = np.asarray(m.kf_t)
+        traj = []
+        world = []
+        for ref in [1, 3, 4, 6]:
+            R_rel = np.eye(3)
+            t_rel = np.asarray([0.1, 0.0, 0.0])
+            traj.append((float(ref), 0, ref, R_rel, t_rel))
+            world.append((kf_R[ref] @ R_rel,
+                          kf_t[ref] + kf_R[ref] @ t_rel))
+        m2, traj2, _, _, _ = tracking.recycle_map_slots(m, traj, 0)
+        kf_R2 = np.asarray(m2.kf_R)
+        kf_t2 = np.asarray(m2.kf_t)
+        for (entry, (R_w, t_w)) in zip(traj2, world):
+            _, _, ref, R_rel, t_rel = entry
+            np.testing.assert_allclose(kf_R2[ref] @ R_rel, R_w,
+                                       atol=1e-5)
+            np.testing.assert_allclose(
+                kf_t2[ref] + kf_R2[ref] @ t_rel, t_w, atol=1e-5)
 
 
 class TestSettings:
