@@ -1,23 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end monocular SLAM tracking throughput on TPU.
+"""Benchmark: flagship multi-camera visual-inertial SLAM throughput on TPU.
 
-Renders a deterministic synthetic sequence (blob world, orbit trajectory)
-and runs the STREAMING pipeline (pipeline/streaming.py): the entire
-per-frame state machine — ORB extraction, two-view init, projection
-matching, motion-only pose optimization, keyframe policy, landmark
-spawning/fusion/culling and window BA — is one device program, dispatched
-once per frame with zero device->host reads. The trajectory is fetched
-once at the end for the accuracy check.
+Runs the STREAMING multi-camera VI pipeline (pipeline/streaming_vi.py) at
+the reference's flagship feature budget — 4 cameras x 512 ORB features x 8
+pyramid levels + 400 Hz IMU (BASELINE.md: Examples/Multi-Inertial/
+HiltiChallenge2022.yaml:125-151) — on a deterministic synthetic rig
+sequence. The entire per-frame state machine (multi-cam extraction, IMU
+preintegration, VI pose optimization, keyframe policy, stereo+temporal
+landmark spawning, fusion/culling, VI window BA, staged IMU init) is ONE
+device program dispatched once per frame with zero device->host reads.
 
-Protocol: pass 1 warms the compile cache (no host fetch, keeps the
+Protocol: pass 1 warms the compile cache (no host fetch, keeps the axon
 transport in its pipelined fast path); pass 2 is timed end-to-end including
-per-frame host->device image upload; ATE is computed afterwards.
+per-frame host->device image upload; accuracy + stage microbench follow.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x}
-vs_baseline is against the reference's real-time target of 30 fps on CPU
+vs_baseline is against the reference's real-time operating point of 30 fps
 (BASELINE.md: the C++ reference paces its main loop to the dataset rate;
-sustained throughput >= 30 fps is its operating point).
+Examples/Multi-Inertial/multi_inertial_euroc.cc:193-202).
 """
 
 import json
@@ -25,38 +26,108 @@ import time
 
 import numpy as np
 
+W, H = 640, 480
+FPS_IN = 20.0
+N_FRAMES = 40
+BASELINE_M = 0.2
+
+
+def build_rig():
+    """4-camera rig: front stereo pair + left/right side cameras
+    (the Hilti-2022 flagship layout minus the up camera)."""
+    import jax.numpy as jnp
+
+    from openmavis_tpu.geometry import cameras
+    from openmavis_tpu.optim.reprojection import RigParams
+
+    pin = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
+
+    def yaw(a):
+        c, s = np.cos(a), np.sin(a)
+        # camera-from-body rotation for a camera yawed by `a` about body y
+        return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+
+    R_cb = np.stack([np.eye(3, dtype=np.float32),
+                     np.eye(3, dtype=np.float32),
+                     yaw(np.pi / 2), yaw(-np.pi / 2)])
+    centers = np.array([[-BASELINE_M / 2, 0, 0], [BASELINE_M / 2, 0, 0],
+                        [-0.1, 0, 0], [0.1, 0, 0]], np.float32)
+    t_cb = -np.einsum("cij,cj->ci", R_cb, centers)
+    return RigParams(kind=cameras.PINHOLE,
+                     params=jnp.stack([jnp.asarray(pin)] * 4),
+                     R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
+
+
+def render_rig_sequence(rig, R_wb, t_wb):
+    from openmavis_tpu.geometry import cameras
+    from openmavis_tpu.io import synthetic
+
+    world = synthetic.BlobWorld.create(seed=3, n=4000)
+    frames = []
+    for c in range(4):
+        R_cb = np.asarray(rig.R_cb[c])
+        c_b = -R_cb.T @ np.asarray(rig.t_cb[c])
+        R_wc = R_wb @ R_cb.T
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, c_b)
+        frames.append(synthetic.render_sequence(
+            world, cameras.PINHOLE, np.asarray(rig.params[c]),
+            R_wc, t_wc, W, H))
+    return np.stack(frames, axis=1).astype(np.float32)  # [T, C, H, W]
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from openmavis_tpu.frontend import extractor
-    from openmavis_tpu.geometry import cameras
+    from openmavis_tpu.imu import preintegration as pre_mod
     from openmavis_tpu.io import evaluation, synthetic
-    from openmavis_tpu.optim.reprojection import RigParams
-    from openmavis_tpu.pipeline import streaming
+    from openmavis_tpu.pipeline import multi_tracking, streaming_vi
 
-    W, H = 512, 384
-    PIN = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
-    rig = RigParams(kind=cameras.PINHOLE, params=jnp.asarray(PIN)[None],
-                    R_cb=jnp.eye(3)[None], t_cb=jnp.zeros((1, 3)))
+    rig = build_rig()
+    R_wb, t_wb = synthetic.orbit_trajectory(N_FRAMES, radius=6.0,
+                                            frac=0.25)
+    # uint8 upload: 4x less host->device traffic per frame; the streaming
+    # step casts to f32 on device
+    frames = np.clip(render_rig_sequence(rig, R_wb, t_wb), 0,
+                     255).astype(np.uint8)
+    dt = 1.0 / FPS_IN
+    # 400 Hz IMU (flagship budget): 20 samples per 20 fps frame
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, dt, rate_mult=20)
 
-    world = synthetic.BlobWorld.create(seed=3, n=3000)
-    n_frames = 40
-    R_wc, t_wc = synthetic.orbit_trajectory(n_frames, radius=6.0, frac=0.25)
-    frames = synthetic.render_sequence(world, cameras.PINHOLE, PIN,
-                                       R_wc, t_wc, W, H)
-    frames = [np.asarray(f, np.float32) for f in frames]
+    orb = extractor.OrbConfig(n_features=512, n_levels=8)
+    # kf cadence/init thresholds chosen so the staged IMU initialization
+    # engages INSIDE the timed pass — the benchmark covers the full VI
+    # pipeline, not just visual tracking
+    cfg = streaming_vi.VIStreamConfig(
+        img_w=W, img_h=H, n_cams=4, stereo_pairs=((0, 1),),
+        orb=orb, imu_freq=400.0, imu_per_frame=32,
+        max_kf=64, max_mp=16384, traj_cap=128,
+        ba_window=8, imu_init_kfs=6, kf_max_interval_s=0.25,
+        temporal_refs=2)
+    noise = pre_mod.ImuNoise.from_sigmas(1.71e-4, 8.6e-3, 3.1e-6,
+                                         2.2e-4, 400.0)
 
-    cfg = streaming.StreamConfig(
-        img_w=W, img_h=H,
-        orb=extractor.OrbConfig(n_features=512, n_levels=4),
-        max_kf=32, max_mp=4096, traj_cap=64)
+    def batches():
+        imu_iter = iter(imu)
+        pending = next(imu_iter, None)
+        out = []
+        for i in range(N_FRAMES):
+            t = i * dt
+            b = []
+            while pending is not None and pending[2] <= t + 1e-9:
+                b.append(pending)
+                pending = next(imu_iter, None)
+            out.append((t, b))
+        return out
+
+    frame_imu = batches()
 
     def run():
-        tr = streaming.StreamingTracker(rig, cfg, seed=0)
-        for i, img in enumerate(frames):
-            tr.push(jnp.asarray(img), i / 20.0)
+        tr = streaming_vi.StreamingVITracker(rig, cfg, noise, seed=0)
+        for i in range(N_FRAMES):
+            t, b = frame_imu[i]
+            tr.push(frames[i], t, b)
         tr.block()
         return tr
 
@@ -64,24 +135,65 @@ def main():
     t0 = time.perf_counter()
     tr = run()                 # pass 2: timed, streaming
     elapsed = time.perf_counter() - t0
-    fps = n_frames / elapsed
+    fps = N_FRAMES / elapsed
 
     # accuracy: single fetch AFTER timing
     t_est, _, p_est = tr.get_trajectory()
-    res = evaluation.ate_rmse(t_est, p_est, np.arange(n_frames) / 20.0,
-                              t_wc, with_scale=True)
+    ok = np.asarray(tr.carry.traj.ok[:len(t_est)])
+    t_gt = np.arange(N_FRAMES) * dt
+    res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
+                              with_scale=True)
+    path_len = float(np.linalg.norm(np.diff(t_wb, axis=0),
+                                    axis=1).sum())
+
+    # -- stage microbench (VERDICT r1 #9: publish where the ms go) --------
+    def timeit(f, *args, reps=20):
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    img_dev = jnp.asarray(frames[-1], jnp.float32)
+    ext_jit = jax.jit(lambda im: extractor.extract_multicam(im, orb))
+    extract_ms = timeit(ext_jit, img_dev)
+
+    feats = ext_jit(img_dev)
+    bank = multi_tracking.concat_bands(feats)
+    from openmavis_tpu.optim import pose_opt
+    c = tr.carry
+    anchor = pose_opt.InertialState(R=c.R, p=c.p, v=c.v, bg=c.bg,
+                                    ba=c.ba)
+    pre_f = pre_mod.init_preintegrated(jnp.concatenate([c.bg, c.ba]))
+    track_ms = timeit(
+        lambda: multi_tracking.track_step_multi_vi(
+            tr.map, bank, anchor, anchor, pre_f, rig.kind, 4, rig,
+            float(W), float(H), cfg.match_radius, -1))
 
     print(json.dumps({
-        "metric": "mono_slam_tracking_fps",
+        "metric": "multi_inertial_slam_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "extra": {
-            "ate_rmse_m": round(res["rmse"], 4),
-            "trajectory_m": 9.42,
+            "budget": "4 cams x 512 feats x 8 levels + 400 Hz IMU, "
+                      f"{W}x{H}",
+            "ate_rmse_m": round(float(res["rmse"]), 4),
+            "ate_rmse_noscale_m": round(float(res["rmse_noscale"]), 4),
+            "horn_scale": round(float(res["scale"]), 4),
+            "trajectory_m": round(path_len, 2),
+            "frames_tracked": int(ok.sum()),
             "n_keyframes": tr.n_kf,
             "n_landmarks": int(tr.map.n_mp),
-            "mean_frame_ms": round(elapsed / n_frames * 1e3, 2),
+            "imu_initialized": tr.imu_initialized,
+            "viba_stage": int(tr.carry.viba_stage),
+            "mean_frame_ms": round(elapsed / N_FRAMES * 1e3, 2),
+            "stage_ms": {
+                "extract_4cam_8lvl": round(extract_ms, 2),
+                "track_vi_pose_opt": round(track_ms, 2),
+            },
         },
     }))
 

@@ -283,7 +283,7 @@ def _make_step_inner(cfg: StreamConfig):
         m = trk.bind_landmarks(m, slot, rig.kind, rig, W, H)
         m = trk.fuse_new_landmarks(m, slot, cap=cfg.new_mp_cap)
         m = trk.cull_landmarks(m, slot)
-        m = trk.cull_keyframes(m, slot)
+        m, _ = trk.cull_keyframes(m, slot)
         if cfg.ba_every_kf:
             m, _ = trk.local_ba_step(m, slot, rig.kind, rig,
                                      window=cfg.ba_window)
@@ -359,6 +359,9 @@ def _make_step_inner(cfg: StreamConfig):
     # ---------------- the step ----------------
     @jax.jit
     def step(m: ms.MapState, c: StreamCarry, img, time, rig):
+        # accept uint8 frames: 4x less host->device transfer through a
+        # remote-attached transport; the cast is free on device
+        img = img.astype(jnp.float32)
         feats = extractor.extract(img, orb_cfg)
         branch = jnp.minimum(c.mode, 2)
         m, c = jax.lax.switch(
@@ -381,13 +384,16 @@ class StreamingTracker:
         times, R, t = tr.get_trajectory()          # single fetch
     """
 
-    def __init__(self, rig: RigParams, cfg: StreamConfig, seed: int = 0):
+    def __init__(self, rig: RigParams, cfg: StreamConfig, seed: int = 0,
+                 loop_closer=None):
         self.rig = rig
         self.cfg = cfg
         orb_cfg = cfg.orb or extractor.OrbConfig()
         self.map = ms.allocate(cfg.max_kf, orb_cfg.n_features, cfg.max_mp)
         self.carry = init_carry(orb_cfg.n_features, cfg.traj_cap, seed)
         self._step = make_step(rig, cfg)
+        self.loop_closer = loop_closer
+        self._last_lc_slot = -1
 
     def push(self, img, time: float):
         self.map, self.carry = self._step(
@@ -396,6 +402,31 @@ class StreamingTracker:
     def block(self):
         """Wait for the pipeline to drain WITHOUT a device->host copy."""
         jax.block_until_ready(self.carry.t)
+
+    def maybe_close_loop(self) -> bool:
+        """Loop detection/correction on the newest keyframe. Host-policy
+        and synchronizing — call at LOW cadence from the application loop
+        (see StreamingVITracker.maybe_close_loop)."""
+        if self.loop_closer is None:
+            return False
+        slot = int(self.map.n_kf) - 1
+        if slot < 1 or slot == self._last_lc_slot:
+            return False
+        self._last_lc_slot = slot
+        old_R, old_t = self.map.kf_R, self.map.kf_t
+        m2, closed = self.loop_closer.on_keyframe(self.map, slot)
+        if not closed:
+            self.map = m2
+            return False
+        c = self.carry
+        ref = jnp.maximum(c.last_kf_slot, 0)
+        R_rel = jnp.swapaxes(old_R[ref], -1, -2) @ c.R
+        t_rel = jnp.einsum("ji,j->i", old_R[ref], c.t - old_t[ref])
+        self.carry = c._replace(
+            R=m2.kf_R[ref] @ R_rel,
+            t=m2.kf_t[ref] + m2.kf_R[ref] @ t_rel)
+        self.map = m2
+        return True
 
     def get_trajectory(self):
         """Fetch + replay relative poses against final keyframe poses."""
