@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..frontend import matcher
-from ..geometry import lie
+from ..geometry import cameras, lie
 from ..optim import pose_graph
 from ..slam_map import keyframe_db as kdb
 from ..slam_map import map_state as ms
@@ -36,6 +38,21 @@ class LoopConfig:
     min_sim3_inliers: int = 20
     covis_edge_threshold: int = 30
     loop_edge_weight: float = 5.0
+    # covisible-group projection verification: the hypothesized Sim3 must
+    # re-find this many of the candidate's local landmarks in the current
+    # keyframe (reference: nProjMatches gating in
+    # DetectCommonRegionsFromBoW, src/LoopClosing.cc:944-994)
+    min_group_matches: int = 25
+    # temporal consistency: this many CONSECUTIVE keyframes must verify
+    # the same candidate before the map is corrected (reference:
+    # mnLoopNumCoincidences / DetectCommonRegionsFromLastKF,
+    # src/LoopClosing.cc:440-520, 1019)
+    temporal_consistency: int = 2
+    # train a session vocabulary + switch retrieval to the KFDB inverted
+    # scores once the map has this many keyframes; dense descriptor
+    # scoring stays the small-map fast path (it is O(K^2 F^2))
+    vocab_train_kf: int = 40
+    vocab_train_samples: int = 20000
 
 
 class MatchedPairs(NamedTuple):
@@ -117,6 +134,56 @@ def cross_place_scores(desc_q, valid_q, m_b: ms.MapState):
     return jnp.sum((best < matcher.TH_LOW).astype(jnp.int32), axis=0)
 
 
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+def group_projection_score(m: ms.MapState, slot, cand, cov_row,
+                           s, R, t, rig_kind: int, n_cams: int, rig,
+                           img_w: float, img_h: float,
+                           radius: float = 8.0,
+                           cov_threshold: int = 15):
+    """Count matches when projecting the candidate's covisible-group
+    landmarks into the current keyframe through the hypothesized Sim3.
+
+    (reference: the projection-verification step of
+    DetectCommonRegionsFromBoW — project the MapPoints of the candidate's
+    covisible window into the current KF and require nProjMatches,
+    src/LoopClosing.cc:944-994.)
+
+    s, R, t: body(slot) -> body(cand) Sim3 (p_cand = s R p_slot + t).
+    Returns n_matches (int32).
+    """
+    K, CF = m.kf_obs.shape
+    F = CF // n_cams
+    M = m.mp_pos.shape[0]
+    # the loop-local landmark set: seen by cand or its strong covisibles
+    group_kf = ((cov_row >= cov_threshold).at[cand].set(True)
+                & m.kf_valid)
+    sel = group_kf[:, None] & (m.kf_obs >= 0)
+    group = (jnp.zeros((M,), bool)
+             .at[jnp.where(sel, m.kf_obs, 0)].max(sel)) & m.mp_valid
+
+    # landmarks -> candidate body frame -> hypothesized slot body frame
+    p_bc = jnp.einsum("ji,mj->mi", m.kf_R[cand], m.mp_pos - m.kf_t[cand])
+    p_bs = jnp.einsum("ji,mj->mi", R, p_bc - t) / s
+
+    n = jnp.zeros((), jnp.int32)
+    for c in range(n_cams):
+        p_c = jnp.einsum("ij,mj->mi", rig.R_cb[c], p_bs) + rig.t_cb[c]
+        uv = cameras.project(rig_kind, rig.params[c], p_c)
+        vis = (group & (p_c[:, 2] > 0.1)
+               & (uv[:, 0] >= 0) & (uv[:, 0] < img_w)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < img_h))
+        sl = slice(c * F, (c + 1) * F)
+        lvl = ms.predict_scale_level(
+            jnp.linalg.norm(p_c, axis=-1), m.mp_dmax)
+        idx, _ = matcher.match_projection(
+            uv, lvl, radius, m.mp_desc, vis,
+            m.kf_xy[slot][sl], m.kf_level[slot][sl],
+            m.kf_desc[slot][sl], m.kf_feat_valid[slot][sl],
+            max_dist=matcher.TH_LOW)
+        n = n + jnp.sum((idx >= 0).astype(jnp.int32))
+    return n
+
+
 @jax.jit
 def _correct_map(m: ms.MapState, s_new, R_new, t_new):
     """Apply optimized world->keyframe Sim3s back to the map.
@@ -150,9 +217,11 @@ def _correct_map(m: ms.MapState, s_new, R_new, t_new):
 class LoopCloser:
     def __init__(self, vocab: voc.Vocabulary | None, max_kf: int,
                  cfg: LoopConfig = LoopConfig(), seed: int = 100,
-                 rig=None, inertial: bool = False):
+                 rig=None, inertial: bool = False,
+                 img_w: float = 640.0, img_h: float = 480.0):
         self.vocab = vocab            # optional BoW path
         self.cfg = cfg
+        self.max_kf = max_kf
         self.db = (kdb.allocate(max_kf, vocab.n_words)
                    if vocab is not None else None)
         self.key = jax.random.PRNGKey(seed)
@@ -163,6 +232,12 @@ class LoopCloser:
         # locks scale (reference: bFixScale, LoopClosing.cc:1329)
         self.rig = rig
         self.inertial = inertial
+        self.img_w = float(img_w)
+        self.img_h = float(img_h)
+        # temporal-consistency hypothesis: {cand, slot, s, R, t, count}
+        # (reference: mnLoopNumCoincidences + the Scw carried between
+        # keyframes, src/LoopClosing.cc:440-520)
+        self.pending: dict | None = None
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -190,66 +265,162 @@ class LoopCloser:
             fix_scale=self.inertial)
         return out
 
-    def on_keyframe(self, m: ms.MapState, slot: int):
-        """Detect and (if verified) correct a loop. Returns (m, closed).
-
-        Candidate retrieval uses direct dense descriptor scoring
-        (tracking.descriptor_place_scores) — the MXU makes brute-force
-        place recognition cheaper and far more discriminative than
-        quantized BoW words; the vocabulary/KFDB path remains available
-        for BoW-based retrieval at larger scales.
+    # -- retrieval ---------------------------------------------------------
+    def _maybe_train_vocab(self, m: ms.MapState):
+        """Train a session vocabulary from the map's own descriptors and
+        backfill the keyframe database once the map outgrows dense scoring
+        (reference analog: the pre-trained ORBvoc + KeyFrameDatabase,
+        src/KeyFrameDatabase.cc:581; here the vocabulary is learned from
+        the session because descriptors are self-consistent in-framework).
         """
-        from ..solvers import sim3 as sim3_mod
+        cfg = self.cfg
+        if self.vocab is not None or int(m.n_kf) < cfg.vocab_train_kf:
+            return
+        kf_valid = np.asarray(m.kf_valid)
+        desc = np.asarray(m.kf_desc[kf_valid])
+        fv = np.asarray(m.kf_feat_valid[kf_valid])
+        flat = desc.reshape(-1, 256)[fv.reshape(-1)]
+        if len(flat) < 1000:
+            return
+        rng = np.random.default_rng(0)
+        take = min(cfg.vocab_train_samples, len(flat))
+        flat = flat[rng.permutation(len(flat))[:take]]
+        self.vocab = voc.train(flat, k=10, levels=3)
+        self.db = kdb.allocate(self.max_kf, self.vocab.n_words)
+        bows = jax.vmap(voc.transform, in_axes=(None, 0, 0))(
+            self.vocab, m.kf_desc, m.kf_feat_valid)
+        self.db = kdb.KeyframeDB(
+            bow=jnp.where(m.kf_valid[:, None], bows, 0.0),
+            valid=m.kf_valid)
+
+    def _candidates(self, m: ms.MapState, slot: int, cov):
+        """Top loop candidates: KFDB inverted scores when the session
+        vocabulary exists, dense MXU descriptor scoring otherwise."""
         from . import tracking as trk
 
         cfg = self.cfg
-        if self.vocab is not None:
-            bow = voc.transform(self.vocab, m.kf_desc[slot],
-                                m.kf_feat_valid[slot])
-            self.db = kdb.add(self.db, slot, bow)
-        cov = ms.covisibility_matrix(m)
-        recent = jnp.arange(m.kf_valid.shape[0]) > slot - cfg.recent_exclude
+        recent = (jnp.arange(m.kf_valid.shape[0])
+                  > slot - cfg.recent_exclude)
         exclude = (cov[slot] >= cfg.covis_exclude) | recent | ~m.kf_valid
 
         if cfg.candidate_source == "spatial":
-            # candidate = old keyframes near the current pose ESTIMATE
-            # (map-reuse gating; appearance retrieval is the default, but
-            # degenerates on texture-poor scenes)
             d = jnp.linalg.norm(m.kf_t - m.kf_t[slot], axis=-1)
             scores = jnp.where(exclude | (d > cfg.spatial_radius),
                                -jnp.inf, -d)
             top = jax.lax.top_k(scores, 3)[1]
             ok = jnp.isfinite(scores[top])
+        elif self.vocab is not None:
+            bow = voc.transform(self.vocab, m.kf_desc[slot],
+                                m.kf_feat_valid[slot])
+            self.db = kdb.add(self.db, slot, bow)
+            min_score = kdb.min_covisible_score(
+                self.db, bow, cov[slot], cfg.covis_exclude)
+            _, top, ok = kdb.query(self.db, bow, exclude, min_score)
         else:
             scores = trk.descriptor_place_scores(m, jnp.asarray(slot))
             scores = jnp.where(exclude, -1, scores)
             top = jax.lax.top_k(scores, 3)[1]
             ok = scores[top] >= cfg.min_desc_matches
+        return [int(c) for c, o in zip(np.asarray(top), np.asarray(ok))
+                if o]
 
-        cand_list = [int(c) for c, o in zip(np.asarray(top),
-                                            np.asarray(ok)) if o]
-        for cand in cand_list:
-            pairs = _matched_pairs_body(
-                m, jnp.asarray(slot), jnp.asarray(cand))
-            if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
+    def _group_score(self, m, slot, cand, cov, s, R, t) -> int:
+        if self.rig is None:
+            return 1 << 20   # no rig: the gate degrades to a no-op
+        n_cams = int(self.rig.params.shape[0])
+        return int(group_projection_score(
+            m, jnp.asarray(slot), jnp.asarray(cand), cov[cand],
+            s, R, t, self.rig.kind, n_cams, self.rig,
+            self.img_w, self.img_h))
+
+    def _solve_pair(self, m, slot: int, cand: int):
+        """Matched pairs -> RANSAC Sim3 -> projection refinement.
+        Returns the refined result or None."""
+        from ..solvers import sim3 as sim3_mod
+
+        cfg = self.cfg
+        pairs = _matched_pairs_body(
+            m, jnp.asarray(slot), jnp.asarray(cand))
+        if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
+            return None
+        res = sim3_mod.ransac_sim3(
+            self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
+            fix_scale=self.inertial,
+            min_inliers=cfg.min_sim3_inliers)
+        if not bool(res.success):
+            return None
+        ref = self._verify_sim3(pairs, res)
+        if ref is not None:
+            if int(ref.n_inliers) < cfg.min_sim3_inliers:
+                return None
+            res = res._replace(s=ref.s, R=ref.R, t=ref.t,
+                               inlier=ref.inlier,
+                               n_inliers=ref.n_inliers)
+        return res
+
+    def on_keyframe(self, m: ms.MapState, slot: int):
+        """Detect, temporally confirm, and (if verified) correct a loop.
+        Returns (m, closed).
+
+        Acceptance chain (reference: src/LoopClosing.cc:401-1019):
+        1. retrieval (KFDB once the session vocabulary is trained, dense
+           MXU scoring for small maps);
+        2. Sim3 RANSAC on matched landmark pairs + projection refinement;
+        3. covisible-group projection verification: the Sim3 must re-find
+           the candidate's local landmarks in the current keyframe;
+        4. temporal consistency: `temporal_consistency` CONSECUTIVE
+           keyframes must re-verify the same hypothesis before
+           `_correct_map` runs (a wrong correction is unrecoverable).
+        """
+        cfg = self.cfg
+        self._maybe_train_vocab(m)
+        cov = ms.covisibility_matrix(m)
+
+        # -- step 4 first: re-verify a pending hypothesis from this KF --
+        if self.pending is not None:
+            p = self.pending
+            if slot <= p["slot"]:
+                self.pending = None
+            else:
+                # compose: S'(new->cand) = S(old->cand) o T(old<-new)
+                R_o, t_o = m.kf_R[p["slot"]], m.kf_t[p["slot"]]
+                R_n, t_n = m.kf_R[slot], m.kf_t[slot]
+                R2 = p["R"] @ R_o.T @ R_n
+                t2 = p["s"] * (p["R"] @ (R_o.T @ (t_n - t_o))) + p["t"]
+                score = self._group_score(m, slot, p["cand"], cov,
+                                          p["s"], R2, t2)
+                if score >= cfg.min_group_matches:
+                    p.update(slot=slot, R=R2, t=t2,
+                             count=p["count"] + 1)
+                    if p["count"] >= cfg.temporal_consistency:
+                        res = self._solve_pair(m, slot, p["cand"])
+                        self.pending = None
+                        if res is not None:
+                            m = self._correct(m, slot, p["cand"], res,
+                                              cov)
+                            self.n_loops += 1
+                            return m, True
+                    else:
+                        return m, False
+                else:
+                    self.pending = None
+
+        # -- steps 1-3: fresh detection ---------------------------------
+        for cand in self._candidates(m, slot, cov):
+            res = self._solve_pair(m, slot, cand)
+            if res is None:
                 continue
-            res = sim3_mod.ransac_sim3(
-                self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
-                fix_scale=self.inertial,
-                min_inliers=cfg.min_sim3_inliers)
-            if not bool(res.success):
+            score = self._group_score(m, slot, cand, cov,
+                                      res.s, res.R, res.t)
+            if score < cfg.min_group_matches:
                 continue
-            # projection verification + OptimizeSim3-style refinement
-            ref = self._verify_sim3(pairs, res)
-            if ref is not None:
-                if int(ref.n_inliers) < cfg.min_sim3_inliers:
-                    continue
-                res = res._replace(s=ref.s, R=ref.R, t=ref.t,
-                                   inlier=ref.inlier,
-                                   n_inliers=ref.n_inliers)
-            m = self._correct(m, slot, cand, res, cov)
-            self.n_loops += 1
-            return m, True
+            if cfg.temporal_consistency <= 1:
+                m = self._correct(m, slot, cand, res, cov)
+                self.n_loops += 1
+                return m, True
+            self.pending = dict(cand=cand, slot=slot, s=res.s,
+                                R=res.R, t=res.t, count=1)
+            return m, False
         return m, False
 
     def _correct(self, m: ms.MapState, slot: int, cand: int, res, cov):
