@@ -99,9 +99,17 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
                          stages=(5, 10), cg_iters: int = 24,
                          lambda0: float = 1e-2,
                          chi2_th: float = robust.CHI2_2D,
-                         psum_axis: str | None = None):
+                         psum_axis: str | None = None,
+                         points_local: bool = False):
     """Matrix-free global BA. Same contract as ba.bundle_adjust but scales
     to hundreds of keyframes / 10^5 landmarks and shards over a mesh.
+
+    `points_local=True` declares that the landmark axis is SHARDED across
+    `psum_axis` and every observation of a landmark lives on its owner
+    device (parallel/dist_ba.distributed_global_ba_lsharded arranges
+    this). The per-landmark reductions (Hll, gl, lx) are then shard-local
+    and skip their collectives — only [K, D]-sized pose reductions ride
+    the interconnect, and landmark state/Hessian memory scales 1/n_dev.
 
     Returns (state, obs_inlier [O] bool, final_chi2).
     """
@@ -116,6 +124,12 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
             return x
         return jax.lax.psum(x, psum_axis)
 
+    def _psum_l(x):
+        # landmark-axis reduction: identity when landmarks are sharded
+        if psum_axis is None or points_local:
+            return x
+        return jax.lax.psum(x, psum_axis)
+
     def prepare(st, active, lam):
         """Per-LM-iteration fixed quantities: weights, Hll^-1, rhs."""
         r, Jp, Jl, w, _ = _visual_terms(st, obs, rig, active)
@@ -123,8 +137,8 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
             jnp.einsum("oai,o,oaj->oij", Jl, w, Jl))
         gl = jnp.zeros((M, 3), r.dtype).at[obs.mp].add(
             jnp.einsum("oai,o,oa->oi", Jl, w, r))
-        Hll = _psum(Hll)
-        gl = _psum(gl)
+        Hll = _psum_l(Hll)
+        gl = _psum_l(gl)
         dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
         Hll_d = Hll + jax.vmap(jnp.diag)(
             lam * jnp.maximum(dll, 1e-9) + 1e-9)
@@ -187,7 +201,7 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
         lx = jnp.zeros((M, 3), x.dtype).at[obs.mp].add(
             jnp.einsum("oai,o,oa->oi", Jl, w, yo))
         hx = _psum(hx)
-        lx = _psum(lx)
+        lx = _psum_l(lx)
         v = jnp.einsum("mij,mj->mi", Hll_inv, lx)
         vo = jnp.einsum("oai,oi->oa", Jl, v[obs.mp])
         sx = jnp.zeros((K, 6), x.dtype).at[obs.kf].add(
@@ -263,7 +277,7 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
         yo = jnp.einsum("oai,oi->oa", Jp, dx_p[obs.kf, :6])
         lx = jnp.zeros((M, 3), dx_p.dtype).at[obs.mp].add(
             jnp.einsum("oai,o,oa->oi", Jl, w, yo))
-        lx = _psum(lx)
+        lx = _psum_l(lx)
         dl = jnp.einsum("mij,mj->mi", Hll_inv, -gl - lx)
         if point_fixed is not None:
             dl = jnp.where(point_fixed[:, None], 0.0, dl)

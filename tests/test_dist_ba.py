@@ -85,6 +85,46 @@ class TestDistributedBA:
         assert np.isfinite(float(chi_d))
 
 
+class TestLandmarkShardedGBA:
+    def test_matches_replicated(self):
+        """Landmark-sharded GBA (points + Hll partitioned over the mesh)
+        must agree with the replicated-state GBA and the single-device
+        solve — the state-sharding scale-out path."""
+        from openmavis_tpu.optim import global_ba
+
+        state0, obs, fixed, R_gt, t_gt, points = make_problem(
+            jax.random.PRNGKey(2), K=6, M=160)
+        mesh = dist_ba.make_mesh(jax.devices()[:8])
+        rig = mono_rig()
+
+        st_s, inl_s, chi_s = global_ba.global_bundle_adjust(
+            state0, obs, rig, fixed, stages=(4, 6), cg_iters=24)
+        st_l, inl_l, chi_l = dist_ba.distributed_global_ba_lsharded(
+            mesh, state0, obs, rig, fixed, stages=(4, 6), cg_iters=24)
+
+        np.testing.assert_allclose(np.asarray(st_l.t), np.asarray(t_gt),
+                                   atol=0.03)
+        np.testing.assert_allclose(np.asarray(st_l.t),
+                                   np.asarray(st_s.t), atol=0.01)
+        np.testing.assert_allclose(np.asarray(st_l.points),
+                                   np.asarray(st_s.points), atol=0.05)
+        assert (abs(float(chi_l) - float(chi_s))
+                / max(float(chi_s), 1) < 0.1)
+        agree = float((inl_l == inl_s).mean())
+        assert agree > 0.98, agree
+
+    def test_uneven_landmark_count(self):
+        """M not divisible by n_devices: padding path."""
+        state0, obs, fixed, *_ = make_problem(jax.random.PRNGKey(3), K=5,
+                                              M=101)
+        mesh = dist_ba.make_mesh(jax.devices()[:8])
+        st_l, inl_l, chi_l = dist_ba.distributed_global_ba_lsharded(
+            mesh, state0, obs, mono_rig(), fixed, stages=(3,))
+        assert st_l.points.shape[0] == 101
+        assert inl_l.shape[0] == obs.kf.shape[0]
+        assert np.isfinite(float(chi_l))
+
+
 class TestShardedPlaceRecognition:
     def test_matches_single_device(self):
         import jax.numpy as jnp
