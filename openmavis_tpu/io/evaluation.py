@@ -11,6 +11,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def load_ground_truth(path: str):
+    """Load a ground-truth trajectory: TUM format (`t x y z qx qy qz qw`,
+    seconds) or EuRoC state-estimate csv (ns timestamps, comma-separated).
+    Returns (t [N] seconds, p [N,3])."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rows.append([float(x) for x in line.replace(",", " ").split()[:4]])
+    arr = np.asarray(rows)
+    t = arr[:, 0]
+    if len(t) and t.max() > 1e14:       # ns timestamps (EuRoC csv)
+        t = t / 1e9
+    return t, arr[:, 1:4]
+
+
 def associate(t_est: np.ndarray, t_gt: np.ndarray,
               max_dt: float = 0.02):
     """Nearest-timestamp association (reference: evaluation/associate.py).
