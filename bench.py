@@ -53,24 +53,30 @@ def build_rig():
     centers = np.array([[-BASELINE_M / 2, 0, 0], [BASELINE_M / 2, 0, 0],
                         [-0.1, 0, 0], [0.1, 0, 0]], np.float32)
     t_cb = -np.einsum("cij,cj->ci", R_cb, centers)
-    return RigParams(kind=cameras.PINHOLE,
-                     params=jnp.stack([jnp.asarray(pin)] * 4),
-                     R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
+    params = np.stack([pin] * 4)
+    rig = RigParams(kind=cameras.PINHOLE, params=jnp.asarray(params),
+                    R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
+    # host-side numpy copies for data generation: reading arrays BACK from
+    # the device is pathologically slow on the axon transport (a single
+    # small d2h fetch measures ~10-20 s), so the renderer must never touch
+    # the jnp rig
+    rig_np = dict(params=params, R_cb=R_cb, t_cb=t_cb)
+    return rig, rig_np
 
 
-def render_rig_sequence(rig, R_wb, t_wb):
+def render_rig_sequence(rig_np, R_wb, t_wb):
     from openmavis_tpu.geometry import cameras
     from openmavis_tpu.io import synthetic
 
     world = synthetic.BlobWorld.create(seed=3, n=4000)
     frames = []
     for c in range(4):
-        R_cb = np.asarray(rig.R_cb[c])
-        c_b = -R_cb.T @ np.asarray(rig.t_cb[c])
+        R_cb = rig_np["R_cb"][c]
+        c_b = -R_cb.T @ rig_np["t_cb"][c]
         R_wc = R_wb @ R_cb.T
         t_wc = t_wb + np.einsum("tij,j->ti", R_wb, c_b)
         frames.append(synthetic.render_sequence(
-            world, cameras.PINHOLE, np.asarray(rig.params[c]),
+            world, cameras.PINHOLE, rig_np["params"][c],
             R_wc, t_wc, W, H))
     return np.stack(frames, axis=1).astype(np.float32)  # [T, C, H, W]
 
@@ -84,12 +90,12 @@ def main():
     from openmavis_tpu.io import evaluation, synthetic
     from openmavis_tpu.pipeline import multi_tracking, streaming_vi
 
-    rig = build_rig()
+    rig, rig_np = build_rig()
     R_wb, t_wb = synthetic.orbit_trajectory(N_FRAMES, radius=6.0,
                                             frac=0.25)
     # uint8 upload: 4x less host->device traffic per frame; the streaming
     # step casts to f32 on device
-    frames = np.clip(render_rig_sequence(rig, R_wb, t_wb), 0,
+    frames = np.clip(render_rig_sequence(rig_np, R_wb, t_wb), 0,
                      255).astype(np.uint8)
     dt = 1.0 / FPS_IN
     # 400 Hz IMU (flagship budget): 20 samples per 20 fps frame
