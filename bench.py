@@ -35,8 +35,6 @@ BASELINE_M = 0.2
 def build_rig():
     """4-camera rig: front stereo pair + left/right side cameras
     (the Hilti-2022 flagship layout minus the up camera)."""
-    import jax.numpy as jnp
-
     from openmavis_tpu.geometry import cameras
     from openmavis_tpu.optim.reprojection import RigParams
 
@@ -54,12 +52,10 @@ def build_rig():
                         [-0.1, 0, 0], [0.1, 0, 0]], np.float32)
     t_cb = -np.einsum("cij,cj->ci", R_cb, centers)
     params = np.stack([pin] * 4)
-    rig = RigParams(kind=cameras.PINHOLE, params=jnp.asarray(params),
-                    R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
-    # host-side numpy copies for data generation: reading arrays BACK from
-    # the device is pathologically slow on the axon transport (a single
-    # small d2h fetch measures ~10-20 s), so the renderer must never touch
-    # the jnp rig
+    # numpy leaves: the tracker commits the rig to the device in one h2d;
+    # the renderer reads the same host copies with zero device traffic
+    rig = RigParams(kind=cameras.PINHOLE, params=params,
+                    R_cb=R_cb, t_cb=t_cb)
     rig_np = dict(params=params, R_cb=R_cb, t_cb=t_cb)
     return rig, rig_np
 
@@ -143,9 +139,10 @@ def main():
     elapsed = time.perf_counter() - t0
     fps = N_FRAMES / elapsed
 
-    # accuracy: single fetch AFTER timing
+    # accuracy + counters: ONE packed d2h fetch AFTER timing
+    snap = tr.snapshot()
     t_est, _, p_est = tr.get_trajectory()
-    ok = np.asarray(tr.carry.traj.ok[:len(t_est)])
+    ok = snap["ok"][:len(t_est)]
     t_gt = np.arange(N_FRAMES) * dt
     res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
                               with_scale=True)
@@ -153,30 +150,39 @@ def main():
                                     axis=1).sum())
 
     # -- stage microbench (VERDICT r1 #9: publish where the ms go) --------
+    from openmavis_tpu.utils import device as dev
+
     def timeit(f, *args, reps=20):
-        out = f(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        with dev.host_trace():
             out = f(*args)
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f(*args)
+            jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    img_dev = jnp.asarray(frames[-1], jnp.float32)
+    img_dev = dev.commit(frames[-1].astype(np.float32))
     ext_jit = jax.jit(lambda im: extractor.extract_multicam(im, orb))
     extract_ms = timeit(ext_jit, img_dev)
 
-    feats = ext_jit(img_dev)
-    bank = multi_tracking.concat_bands(feats)
     from openmavis_tpu.optim import pose_opt
+    with dev.host_trace():
+        feats = ext_jit(img_dev)
+        bank = multi_tracking.concat_bands(feats)
     c = tr.carry
     anchor = pose_opt.InertialState(R=c.R, p=c.p, v=c.v, bg=c.bg,
                                     ba=c.ba)
-    pre_f = pre_mod.init_preintegrated(jnp.concatenate([c.bg, c.ba]))
-    track_ms = timeit(
-        lambda: multi_tracking.track_step_multi_vi(
-            tr.map, bank, anchor, anchor, pre_f, rig.kind, 4, rig,
+    with dev.host_trace():
+        pre_f = pre_mod.init_preintegrated(
+            jnp.concatenate([c.bg, c.ba]))
+
+    track_jit = jax.jit(
+        lambda m, bank, anchor, pre_f, rig:
+        multi_tracking.track_step_multi_vi(
+            m, bank, anchor, anchor, pre_f, rig.kind, 4, rig,
             float(W), float(H), cfg.match_radius, -1))
+    track_ms = timeit(track_jit, tr.map, bank, anchor, pre_f, tr.rig)
 
     print(json.dumps({
         "metric": "multi_inertial_slam_fps",
@@ -191,10 +197,10 @@ def main():
             "horn_scale": round(float(res["scale"]), 4),
             "trajectory_m": round(path_len, 2),
             "frames_tracked": int(ok.sum()),
-            "n_keyframes": tr.n_kf,
-            "n_landmarks": int(tr.map.n_mp),
-            "imu_initialized": tr.imu_initialized,
-            "viba_stage": int(tr.carry.viba_stage),
+            "n_keyframes": int(snap["n_kf"]),
+            "n_landmarks": int(snap["n_mp"]),
+            "imu_initialized": bool(snap["imu_ok"]),
+            "viba_stage": int(snap["viba_stage"]),
             "mean_frame_ms": round(elapsed / N_FRAMES * 1e3, 2),
             "stage_ms": {
                 "extract_4cam_8lvl": round(extract_ms, 2),

@@ -26,7 +26,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INVALID = 300.0          # sentinel distance for masked / absent targets
-_PACK = 16384.0          # index packing base (supports M < 16384)
+# index packing base: supports M <= 32768 targets; dist*_PACK + col stays
+# exact in f32's 24-bit mantissa (300*32768 + 32767 < 2^24)
+_PACK = 32768.0
 
 TILE_N = 256
 TILE_M = 512
@@ -89,9 +91,9 @@ def _pad_to(x, size, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("interpret",))
 def masked_best2_fused(d1: jnp.ndarray, d2: jnp.ndarray,
-                       penalty: jnp.ndarray):
+                       penalty: jnp.ndarray, interpret: bool = False):
     """Fused best-2 Hamming search.
 
     Args:
@@ -99,6 +101,8 @@ def masked_best2_fused(d1: jnp.ndarray, d2: jnp.ndarray,
       d2: [M, 256] target descriptors.
       penalty: [N, M] f32 additive penalty (0 = admissible, >= INVALID to
         forbid; callers encode window/level/validity masks here).
+      interpret: run the kernel in the Pallas interpreter (CPU CI coverage
+        of the TPU-only matcher path; tests/test_matcher_pallas.py).
     Returns:
       (best_idx [N] int32, best [N] int32, second [N] int32) — rows with no
       admissible target give best == second == INVALID.
@@ -138,6 +142,7 @@ def masked_best2_fused(d1: jnp.ndarray, d2: jnp.ndarray,
             pltpu.VMEM((TILE_N, 1), jnp.float32),
             pltpu.VMEM((TILE_N, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(a, b, pen)
 
     best = best[:n, 0]

@@ -39,6 +39,7 @@ from ..geometry import cameras
 from ..optim.reprojection import RigParams
 from ..slam_map import map_state as ms
 from ..solvers import two_view
+from ..utils import device as dev
 from . import tracking as trk
 
 # carry.mode values
@@ -359,6 +360,12 @@ def _make_step_inner(cfg: StreamConfig):
     # ---------------- the step ----------------
     @jax.jit
     def step(m: ms.MapState, c: StreamCarry, img, time, rig):
+        # host_trace: trace-time constants stay host-backed (zero d2h
+        # through a tunneled transport; see utils/device.py)
+        with dev.host_trace():
+            return _step_body(m, c, img, time, rig)
+
+    def _step_body(m: ms.MapState, c: StreamCarry, img, time, rig):
         # accept uint8 frames: 4x less host->device transfer through a
         # remote-attached transport; the cast is free on device
         img = img.astype(jnp.float32)
@@ -386,18 +393,25 @@ class StreamingTracker:
 
     def __init__(self, rig: RigParams, cfg: StreamConfig, seed: int = 0,
                  loop_closer=None):
-        self.rig = rig
         self.cfg = cfg
         orb_cfg = cfg.orb or extractor.OrbConfig()
-        self.map = ms.allocate(cfg.max_kf, orb_cfg.n_features, cfg.max_mp)
-        self.carry = init_carry(orb_cfg.n_features, cfg.traj_cap, seed)
-        self._step = make_step(rig, cfg)
+        with dev.host_trace():
+            m = ms.allocate(cfg.max_kf, orb_cfg.n_features, cfg.max_mp)
+            c = init_carry(orb_cfg.n_features, cfg.traj_cap, seed)
+        self.map = dev.commit(m)
+        self.carry = dev.commit(c)
+        self.rig = dev.commit(rig)
+        self._step = make_step(self.rig, cfg)
+        self._packer = dev.Packer()
         self.loop_closer = loop_closer
         self._last_lc_slot = -1
 
     def push(self, img, time: float):
-        self.map, self.carry = self._step(
-            self.map, self.carry, img, jnp.asarray(time, jnp.float32))
+        with dev.host_trace():
+            self.map, self.carry = self._step(
+                self.map, self.carry, dev.commit(np.asarray(img)),
+                jnp.asarray(time, jnp.float32))
+        self._snap = None
 
     def block(self):
         """Wait for the pipeline to drain WITHOUT a device->host copy."""
@@ -409,10 +423,11 @@ class StreamingTracker:
         (see StreamingVITracker.maybe_close_loop)."""
         if self.loop_closer is None:
             return False
-        slot = int(self.map.n_kf) - 1
+        slot = int(self.snapshot()["n_kf"]) - 1
         if slot < 1 or slot == self._last_lc_slot:
             return False
         self._last_lc_slot = slot
+        self._snap = None
         old_R, old_t = self.map.kf_R, self.map.kf_t
         m2, closed = self.loop_closer.on_keyframe(self.map, slot)
         if not closed:
@@ -428,21 +443,32 @@ class StreamingTracker:
         self.map = m2
         return True
 
+    def snapshot(self) -> dict:
+        """Trajectory + counters in ONE d2h transfer (see utils/device.py);
+        cached until the next push()."""
+        if getattr(self, "_snap", None) is not None:
+            return self._snap
+        tr = self.carry.traj
+        self._snap = self._packer.fetch(dict(
+            time=tr.time, ref=tr.ref, R_rel=tr.R_rel, t_rel=tr.t_rel,
+            ok=tr.ok, idx=tr.idx, kf_R=self.map.kf_R, kf_t=self.map.kf_t,
+            n_kf=self.map.n_kf, n_mp=self.map.n_mp))
+        return self._snap
+
     def get_trajectory(self):
         """Fetch + replay relative poses against final keyframe poses."""
-        tr = jax.tree.map(np.asarray, self.carry.traj)
-        kf_R = np.asarray(self.map.kf_R)
-        kf_t = np.asarray(self.map.kf_t)
-        n = int(min(tr.idx, tr.time.shape[0]))
+        s = self.snapshot()
+        n = int(min(s["idx"], s["time"].shape[0]))
+        kf_R, kf_t = s["kf_R"], s["kf_t"]
         times, Rs, ts = [], [], []
         for i in range(n):
-            ref = tr.ref[i]
-            times.append(tr.time[i])
-            Rs.append(kf_R[ref] @ tr.R_rel[i])
-            ts.append(kf_t[ref] + kf_R[ref] @ tr.t_rel[i])
+            ref = s["ref"][i]
+            times.append(s["time"][i])
+            Rs.append(kf_R[ref] @ s["R_rel"][i])
+            ts.append(kf_t[ref] + kf_R[ref] @ s["t_rel"][i])
         return (np.asarray(times), np.stack(Rs) if Rs else np.zeros(
             (0, 3, 3)), np.stack(ts) if ts else np.zeros((0, 3)))
 
     @property
     def n_kf(self):
-        return int(self.map.n_kf)
+        return int(self.snapshot()["n_kf"])

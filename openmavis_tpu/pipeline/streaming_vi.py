@@ -57,6 +57,7 @@ from ..optim import pose_opt
 from ..optim.reprojection import RigParams
 from ..slam_map import map_state as ms
 from ..solvers import two_view
+from ..utils import device as dev
 from . import multi_tracking as mt
 from . import tracking as trk
 from .streaming import NEED_REF, INIT, OK, LOST, TrajRing, _masked_median
@@ -688,6 +689,12 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
     @jax.jit
     def step(m: ms.MapState, c: VIStreamCarry, images, time,
              imu_w, imu_a, imu_dt, rig, noise, dist):
+        with dev.host_trace():
+            return _step_body(m, c, images, time, imu_w, imu_a, imu_dt,
+                              rig, noise, dist)
+
+    def _step_body(m: ms.MapState, c: VIStreamCarry, images, time,
+                   imu_w, imu_a, imu_dt, rig, noise, dist):
         # accept uint8 frames: 4x less host->device transfer through a
         # remote-attached transport; the cast is free on device
         images = images.astype(jnp.float32)
@@ -741,15 +748,23 @@ class StreamingVITracker:
     def __init__(self, rig: RigParams, cfg: VIStreamConfig,
                  noise: pre_mod.ImuNoise | None = None, seed: int = 0,
                  dist=None, loop_closer=None):
-        self.rig = rig
         self.cfg = cfg
         self.noise = noise or pre_mod.ImuNoise.from_sigmas(
             1.7e-4, 2e-3, 1.9e-5, 3e-3, cfg.imu_freq)
         orb_cfg = cfg.orb or extractor.OrbConfig()
-        self.map = ms.allocate(cfg.max_kf, cfg.n_cams * orb_cfg.n_features,
-                               cfg.max_mp)
-        self.carry = init_carry(cfg, seed)
-        self._step = make_step(rig, cfg, self.noise, dist)
+        # Allocate all state on the HOST cpu backend (dozens of eager ops —
+        # each would be a remote dispatch on a tunneled TPU), then commit
+        # the finished pytrees to the compute device in one fast h2d.
+        with dev.host_trace():
+            self.rig = rig
+            m = ms.allocate(cfg.max_kf, cfg.n_cams * orb_cfg.n_features,
+                            cfg.max_mp)
+            c = init_carry(cfg, seed)
+        self.map = dev.commit(m)
+        self.carry = dev.commit(c)
+        self.rig = dev.commit(rig)
+        self._step = make_step(self.rig, cfg, self.noise, dist)
+        self._packer = dev.Packer()
         self._t_prev: float | None = None
         self.loop_closer = loop_closer
         self._last_lc_slot = -1
@@ -776,15 +791,21 @@ class StreamingVITracker:
             if j and prev < t_now and j < S:
                 w[j], a[j] = w[j - 1], a[j - 1]
                 dt[j] = t_now - prev
-        return jnp.asarray(w), jnp.asarray(a), jnp.asarray(dt)
+        return w, a, dt
 
     def push(self, images, time: float, imu_samples=()):
         """images: [C,H,W] float32; imu_samples: iterable of (w, a, t)."""
         w, a, dt = self._imu_arrays(list(imu_samples), time)
-        self.map, self.carry = self._step(
-            self.map, self.carry, jnp.asarray(images),
-            jnp.asarray(time, jnp.float32), w, a, dt)
+        # host_trace: the first call traces the whole step — all trace-time
+        # constants must be host-backed (zero d2h through the tunnel);
+        # the program itself dispatches to the TPU because map/carry are
+        # committed there.
+        with dev.host_trace():
+            self.map, self.carry = self._step(
+                self.map, self.carry, dev.commit(np.asarray(images)),
+                jnp.asarray(time, jnp.float32), w, a, dt)
         self._t_prev = time
+        self._snap = None
 
     def block(self):
         jax.block_until_ready(self.carry.p)
@@ -801,12 +822,15 @@ class StreamingVITracker:
         """
         if self.loop_closer is None:
             return False
-        slot = int(self.map.n_kf) - 1
+        slot = int(self.snapshot()["n_kf"]) - 1
         if slot < 1 or slot == self._last_lc_slot:
             return False
         self._last_lc_slot = slot
+        self._snap = None
         old_R, old_t = self.map.kf_R, self.map.kf_t
-        m2, closed = self.loop_closer.on_keyframe(self.map, slot)
+        m2, closed = self.loop_closer.on_keyframe(
+            self.map, slot, chain=self.carry.chain,
+            chain_valid=self.carry.chain_valid)
         if not closed:
             self.map = m2
             return False
@@ -822,25 +846,42 @@ class StreamingVITracker:
         self.map = m2
         return True
 
+    def snapshot(self) -> dict:
+        """Fetch trajectory + counters in ONE d2h transfer (each transfer
+        through the tunneled transport costs a full multi-second round
+        trip; see utils/device.py). Caches the result until the next
+        push()."""
+        if getattr(self, "_snap", None) is not None:
+            return self._snap
+        tr = self.carry.traj
+        snap = self._packer.fetch(dict(
+            time=tr.time, ref=tr.ref, R_rel=tr.R_rel, t_rel=tr.t_rel,
+            ok=tr.ok, idx=tr.idx,
+            kf_R=self.map.kf_R, kf_t=self.map.kf_t,
+            n_kf=self.map.n_kf, n_mp=self.map.n_mp,
+            imu_ok=self.carry.imu_ok.astype(jnp.int32),
+            viba_stage=self.carry.viba_stage))
+        self._snap = snap
+        return snap
+
     def get_trajectory(self):
-        tr = jax.tree.map(np.asarray, self.carry.traj)
-        kf_R = np.asarray(self.map.kf_R)
-        kf_t = np.asarray(self.map.kf_t)
-        n = int(min(tr.idx, tr.time.shape[0]))
+        s = self.snapshot()
+        n = int(min(s["idx"], s["time"].shape[0]))
+        kf_R, kf_t = s["kf_R"], s["kf_t"]
         times, Rs, ts = [], [], []
         for i in range(n):
-            ref = tr.ref[i]
-            times.append(tr.time[i])
-            Rs.append(kf_R[ref] @ tr.R_rel[i])
-            ts.append(kf_t[ref] + kf_R[ref] @ tr.t_rel[i])
+            ref = s["ref"][i]
+            times.append(s["time"][i])
+            Rs.append(kf_R[ref] @ s["R_rel"][i])
+            ts.append(kf_t[ref] + kf_R[ref] @ s["t_rel"][i])
         return (np.asarray(times),
                 np.stack(Rs) if Rs else np.zeros((0, 3, 3)),
                 np.stack(ts) if ts else np.zeros((0, 3)))
 
     @property
     def n_kf(self):
-        return int(self.map.n_kf)
+        return int(self.snapshot()["n_kf"])
 
     @property
     def imu_initialized(self):
-        return bool(self.carry.imu_ok)
+        return bool(self.snapshot()["imu_ok"])
