@@ -53,6 +53,10 @@ class LoopConfig:
     # scoring stays the small-map fast path (it is O(K^2 F^2))
     vocab_train_kf: int = 40
     vocab_train_samples: int = 20000
+    # run whole-map GBA after a verified loop correction (reference:
+    # CorrectLoop spawns RunGlobalBundleAdjustment, src/LoopClosing.cc:
+    # 1372; FullInertialBA for inertial maps, 2366-2368)
+    run_gba: bool = True
 
 
 class MatchedPairs(NamedTuple):
@@ -358,7 +362,8 @@ class LoopCloser:
                                n_inliers=ref.n_inliers)
         return res
 
-    def on_keyframe(self, m: ms.MapState, slot: int):
+    def on_keyframe(self, m: ms.MapState, slot: int, chain=None,
+                    chain_valid=None):
         """Detect, temporally confirm, and (if verified) correct a loop.
         Returns (m, closed).
 
@@ -371,9 +376,14 @@ class LoopCloser:
         4. temporal consistency: `temporal_consistency` CONSECUTIVE
            keyframes must re-verify the same hypothesis before
            `_correct_map` runs (a wrong correction is unrecoverable).
+
+        After a correction, cfg.run_gba closes the accuracy loop with a
+        whole-map GBA (FullInertialBA when `chain`/`chain_valid` — the
+        per-KF preintegration chain, intervals (k-1 -> k) — is given).
         """
         cfg = self.cfg
         self._maybe_train_vocab(m)
+        self._chain = (chain, chain_valid)
         cov = ms.covisibility_matrix(m)
 
         # -- step 4 first: re-verify a pending hypothesis from this KF --
@@ -486,7 +496,29 @@ class LoopCloser:
         else:
             s_o, R_o, t_o, chi = pose_graph.optimize_pose_graph(
                 s0, R_cw, t_cw, edges, fixed, node_valid)
-        return _correct_map(m, s_o, R_o, t_o)
+        m = _correct_map(m, s_o, R_o, t_o)
+        return self._post_loop_gba(m)
+
+    def _post_loop_gba(self, m: ms.MapState):
+        """Whole-map GBA after loop correction — the reference's
+        RunGlobalBundleAdjustment semantics (src/LoopClosing.cc:1372,
+        2351-2470; FullInertialBA for inertial maps, 2366-2368). The
+        spanning-tree propagation step of the reference is unnecessary
+        here: the solve covers EVERY keyframe/landmark in the slabs in one
+        program, so there are no not-yet-corrected children to propagate
+        to."""
+        if not self.cfg.run_gba or self.rig is None:
+            return m
+        from . import tracking as trk
+
+        chain, chain_valid = getattr(self, "_chain", (None, None))
+        if chain is not None and chain_valid is not None:
+            pre_b = jax.tree.map(lambda x: x[1:], chain)
+            m, chi = trk.global_inertial_ba_step(
+                m, pre_b, chain_valid[1:], self.rig.kind, self.rig)
+        else:
+            m, chi = trk.global_ba_step(m, self.rig.kind, self.rig)
+        return m
 
     # -- Atlas merge detection (reference: LoopClosing merge path,
     # src/LoopClosing.cc:176-204 scale sanity + MergeLocal/MergeLocal2) --
@@ -556,6 +588,20 @@ class LoopCloser:
                     m_old, m_cur, s_w, R_w, t_w)
                 if not ok_m:
                     continue
+                # welding BA over the seam: the welded-in map's keyframes
+                # move, the older map anchors the gauge (reference: the
+                # welding LocalBundleAdjustment after MergeLocal's Sim3
+                # transform, src/Optimizer.cc:3927; the inertial
+                # MergeInertialBA src/Optimizer.cc:4365 analog runs in
+                # MultiTracker._remap_after_merge once the preintegration
+                # chains are welded)
+                if self.rig is not None:
+                    from . import tracking as trk
+                    K = merged.kf_R.shape[0]
+                    free = ((jnp.arange(K) >= kf_off)
+                            & merged.kf_valid)
+                    merged, _ = trk.welding_ba_step(
+                        merged, free, self.rig.kind, self.rig)
                 atlas.maps[other_id] = merged
                 atlas.maps.pop(cur_id)
                 atlas.current = (other_id if other_id < cur_id

@@ -907,6 +907,19 @@ class MultiTracker:
                 self.kf_pre = chain[:kf_off] + self.kf_pre
             elif mid != old_map_id:
                 self._parked_pre[mid2] = pres
+        # MergeInertialBA analog (reference: src/Optimizer.cc:4365, run by
+        # MergeLocal2 after the weld): with the chains welded, optimize the
+        # merged map with the full inertial edge set. The seam interval
+        # (last parked KF -> first welded KF) has no preintegration — its
+        # edge simply stays invalid, exactly the reference's broken-chain
+        # handling across sessions.
+        if self.imu_initialized:
+            pre_b, cvalid = self._kf_pre_batch(self.cfg.max_kf)
+            cvalid = cvalid & (jnp.arange(1, self.cfg.max_kf)
+                               < self.map.n_kf)
+            self.map, _ = mono.global_inertial_ba_step(
+                self.map, pre_b, cvalid, self.rig.kind, self.rig)
+            self._sync_atlas()
 
     def _recycle_slots(self):
         """Compact the keyframe/landmark slabs when full (see
@@ -1175,7 +1188,18 @@ class MultiTracker:
                     self.viba_stage = 3
 
         if self.loop_closer is not None:
-            self.map, closed = self.loop_closer.on_keyframe(self.map, slot)
+            lc_kw = {}
+            if self.imu_initialized:
+                pre_b, cvalid = self._kf_pre_batch(self.cfg.max_kf)
+                ident = pre_mod.init_preintegrated(self.bias)
+                chain = jax.tree.map(
+                    lambda i, p: jnp.concatenate([i[None], p]),
+                    ident, pre_b)
+                lc_kw = dict(chain=chain,
+                             chain_valid=jnp.concatenate(
+                                 [jnp.zeros((1,), bool), cvalid]))
+            self.map, closed = self.loop_closer.on_keyframe(
+                self.map, slot, **lc_kw)
             # cross-map merge detection (reference: merge path of
             # LoopClosing -> MergeLocal2 for inertial maps)
             if self.atlas is not None and len(self.atlas.maps) > 1:

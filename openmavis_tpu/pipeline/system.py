@@ -199,14 +199,24 @@ class System:
     def run_global_ba(self):
         """Whole-map GBA over the current map (reference:
         LoopClosing::RunGlobalBundleAdjustment — the background GBA thread
-        becomes an explicit call; matrix-free Schur+PCG on device).
+        becomes an explicit call; matrix-free Schur+PCG on device). Runs
+        FullInertialBA (inertial edges from the tracker's preintegration
+        chain, reference src/Optimizer.cc:368) once the IMU is
+        initialized; visual-only GBA otherwise.
         Returns the final chi2."""
         with self.timer.stage("gba"):
-            m, chi = tracking.global_ba_step(
-                self.tracker.map, self.tracker.rig.kind, self.tracker.rig)
-            self.tracker.map = m
-            if getattr(self.tracker, "atlas", None) is not None:
-                self.tracker._sync_atlas()
+            tr = self.tracker
+            if (getattr(tr, "imu_initialized", False)
+                    and hasattr(tr, "_kf_pre_batch")):
+                pre_b, cvalid = tr._kf_pre_batch(tr.cfg.max_kf)
+                m, chi = tracking.global_inertial_ba_step(
+                    tr.map, pre_b, cvalid, tr.rig.kind, tr.rig)
+            else:
+                m, chi = tracking.global_ba_step(
+                    tr.map, tr.rig.kind, tr.rig)
+            tr.map = m
+            if getattr(tr, "atlas", None) is not None:
+                tr._sync_atlas()
         return float(chi)
 
     # -- persistence (reference System.h:141-204) --------------------------

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..frontend import extractor, matcher
 from ..geometry import cameras, lie, triangulation
+from ..imu import preintegration as pre_mod
 from ..optim import ba, pose_opt
 from ..optim.reprojection import RigParams
 from ..slam_map import map_state as ms
@@ -499,17 +500,10 @@ def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
     return m, chi
 
 
-@partial(jax.jit, static_argnames=("rig_kind",))
-def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
-    """Whole-map bundle adjustment via the matrix-free Schur+PCG path.
-
-    (reference: LoopClosing::RunGlobalBundleAdjustment ->
-    Optimizer::GlobalBundleAdjustemnt, src/LoopClosing.cc:2351,
-    src/Optimizer.cc:29 — here one jitted program over ALL keyframes and
-    landmarks; first two keyframes fix the gauge.)
-    """
-    from ..optim import global_ba
-
+def full_map_observations(m: ms.MapState):
+    """Flatten every (keyframe, feature) -> landmark binding of the map
+    into BAObservations + the observed-landmark mask. Shared by the
+    whole-map solvers (GBA, FullInertialBA, merge welding BA)."""
     K, F = m.kf_obs.shape
     kf_local = jnp.repeat(jnp.arange(K), F)
     feat = jnp.tile(jnp.arange(F), K)
@@ -522,20 +516,122 @@ def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
         kf=kf_local, mp=mp_safe, cam=m.kf_cam[kf_local, feat],
         uv=m.kf_xy[kf_local, feat], sigma2=m.kf_sigma2[kf_local, feat],
         valid=valid)
-    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
-                        ba=m.kf_ba, points=m.mp_pos)
-    fixed = (jnp.arange(K) < 2) | ~m.kf_valid
     M = m.mp_pos.shape[0]
     observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    return obs, observed, kf_local, feat
+
+
+def _writeback_gba(m: ms.MapState, state, inlier, chi, observed,
+                   kf_local, feat, valid, with_imu: bool):
+    """Apply a whole-map BA result back to the slabs; gated on finite
+    chi2 so a diverged solve can never corrupt the map."""
+    good = jnp.isfinite(chi)
+    upd = m.kf_valid & good
+    m = m._replace(
+        kf_R=jnp.where(upd[:, None, None], state.R, m.kf_R),
+        kf_t=jnp.where(upd[:, None], state.t, m.kf_t),
+        mp_pos=jnp.where((observed & good)[:, None], state.points,
+                         m.mp_pos),
+        kf_obs=jnp.where(good, m.kf_obs.at[kf_local, feat].set(
+            jnp.where(valid & ~inlier, -1, m.kf_obs[kf_local, feat])),
+            m.kf_obs))
+    if with_imu:
+        m = m._replace(
+            kf_v=jnp.where(upd[:, None], state.v, m.kf_v),
+            kf_bg=jnp.where(upd[:, None], state.bg, m.kf_bg),
+            kf_ba=jnp.where(upd[:, None], state.ba, m.kf_ba))
+    return m
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
+    """Whole-map bundle adjustment via the matrix-free Schur+PCG path.
+
+    (reference: LoopClosing::RunGlobalBundleAdjustment ->
+    Optimizer::GlobalBundleAdjustemnt, src/LoopClosing.cc:2351,
+    src/Optimizer.cc:29 — here one jitted program over ALL keyframes and
+    landmarks; first two keyframes fix the gauge.)
+    """
+    from ..optim import global_ba
+
+    obs, observed, kf_local, feat = full_map_observations(m)
+    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
+                        ba=m.kf_ba, points=m.mp_pos)
+    K = m.kf_R.shape[0]
+    fixed = (jnp.arange(K) < 2) | ~m.kf_valid
     state, inlier, chi = global_ba.global_bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~observed,
         stages=(5, 8), cg_iters=32)
-    m = m._replace(
-        kf_R=jnp.where(m.kf_valid[:, None, None], state.R, m.kf_R),
-        kf_t=jnp.where(m.kf_valid[:, None], state.t, m.kf_t),
-        mp_pos=jnp.where(observed[:, None], state.points, m.mp_pos),
-        kf_obs=m.kf_obs.at[kf_local, feat].set(
-            jnp.where(valid & ~inlier, -1, m.kf_obs[kf_local, feat])))
+    m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
+                       obs.valid, with_imu=False)
+    return m, chi
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
+                    rig: RigParams):
+    """Weld-window bundle adjustment after an Atlas map merge.
+
+    (reference: the welding LocalBundleAdjustment MergeLocal runs over the
+    two maps' frontier keyframes after the Sim3 transform,
+    src/Optimizer.cc:3927, called from src/LoopClosing.cc MergeLocal; the
+    inertial variant MergeInertialBA src/Optimizer.cc:4365 is covered by
+    running global_inertial_ba_step once the preintegration chains are
+    welded.)
+
+    free_mask: [K] bool — keyframes allowed to move (typically the
+    welded-in map's slots); everything else is the fixed frontier.
+    Landmarks move only if observed by at least one free keyframe.
+    """
+    from ..optim import global_ba
+
+    obs, observed, kf_local, feat = full_map_observations(m)
+    M = m.mp_pos.shape[0]
+    free_obs = obs.valid & free_mask[obs.kf]
+    mp_free = jnp.zeros((M,), bool).at[obs.mp].max(free_obs)
+    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
+                        ba=m.kf_ba, points=m.mp_pos)
+    fixed = ~free_mask | ~m.kf_valid
+    state, inlier, chi = global_ba.global_bundle_adjust(
+        state0, obs, rig, fixed, point_fixed=~(observed & mp_free),
+        stages=(4, 6), cg_iters=24)
+    m = _writeback_gba(m, state, inlier, chi, observed & mp_free,
+                       kf_local, feat, obs.valid, with_imu=False)
+    return m, chi
+
+
+@partial(jax.jit, static_argnames=("rig_kind",))
+def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
+                            rig_kind: int, rig: RigParams):
+    """Whole-map VISUAL-INERTIAL bundle adjustment: the reference's
+    FullInertialBA as invoked by the post-loop GBA thread (reference:
+    src/LoopClosing.cc:2366-2368 -> Optimizer::FullInertialBA
+    src/Optimizer.cc:368). The temporal chain enters as [K-1]
+    preintegrated edges; one keyframe fixes the gauge (gravity + scale
+    are observable through the chain, so only the first pose is pinned).
+
+    pre_b: batched Preintegrated for intervals (k -> k+1), k in [0, K-1);
+    edge_valid: [K-1] bool.
+    """
+    from ..optim import global_ba
+
+    obs, observed, kf_local, feat = full_map_observations(m)
+    K = m.kf_R.shape[0]
+    kf_in = m.kf_valid & (jnp.arange(K) < m.n_kf)
+    edge_ok = edge_valid & kf_in[1:] & kf_in[:-1]
+    # relinearize each interval at its own keyframe's current bias
+    # (first-order Reintegrate analog, reference: src/ImuTypes.cc:152)
+    bias_k = jnp.concatenate([m.kf_bg, m.kf_ba], axis=-1)[:-1]
+    pre2 = jax.vmap(pre_mod.rebias)(pre_b, bias_k)
+    edges = ba.InertialEdges(pre=pre2, valid=edge_ok)
+    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
+                        ba=m.kf_ba, points=m.mp_pos)
+    fixed = (jnp.arange(K) < 1) | ~m.kf_valid
+    state, inlier, chi = global_ba.global_bundle_adjust(
+        state0, obs, rig, fixed, point_fixed=~observed, edges=edges,
+        stages=(5, 8), cg_iters=32)
+    m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
+                       obs.valid, with_imu=True)
     return m, chi
 
 

@@ -197,3 +197,38 @@ def test_refine_sim3_reprojection():
         jnp.asarray(R_cb), jnp.asarray(t_cb),
         jnp.asarray(R_cb), jnp.asarray(t_cb), fix_scale=True)
     assert abs(float(out_fs.s) - 1.0) < 1e-6
+
+
+def test_welding_ba_reduces_seam_error():
+    """After a noisy Sim3 weld, the welding BA (reference: the welding
+    LocalBundleAdjustment src/Optimizer.cc:3927 run by MergeLocal) must
+    pull the welded-in keyframes back toward the true registration."""
+    tr, atlas, _ = _tracked_map()
+    tr._sync_atlas()
+    m_a = tr.map
+    n_kf = int(m_a.n_kf)
+    K = m_a.kf_R.shape[0]
+
+    # map B: the same map, perturbed — simulates accumulated drift that a
+    # rigid Sim3 weld cannot remove
+    rng = np.random.RandomState(0)
+    dt_noise = jnp.asarray(rng.normal(0, 0.05, size=(K, 3)),
+                           jnp.float32)
+    m_b = m_a._replace(kf_t=m_a.kf_t + dt_noise)
+
+    merged, ok = atlas_mod.merge_maps(m_a, m_b, jnp.ones(()),
+                                      jnp.eye(3), jnp.zeros(3))
+    assert ok
+    free = (jnp.arange(merged.kf_R.shape[0]) >= n_kf) & merged.kf_valid
+
+    def seam_err(m):
+        t_orig = np.asarray(m_a.kf_t[:n_kf])
+        t_weld = np.asarray(m.kf_t[n_kf:2 * n_kf])
+        return float(np.linalg.norm(t_orig - t_weld, axis=-1).mean())
+
+    err_raw = seam_err(merged)
+    welded, chi = tracking.welding_ba_step(merged, free,
+                                           cameras.PINHOLE, mono_rig())
+    err_ba = seam_err(welded)
+    assert np.isfinite(float(chi))
+    assert err_ba < err_raw * 0.6, (err_raw, err_ba)

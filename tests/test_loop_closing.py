@@ -24,12 +24,14 @@ def mono_rig():
                      t_cb=jnp.zeros((1, 3)))
 
 
-@pytest.mark.slow
-def test_full_orbit_loop_closes():
+def _run_orbit(run_gba: bool):
+    """Track 1.25 orbits (the revisit must persist over several keyframes
+    so the temporal-consistency gate can confirm, reference:
+    mnLoopNumCoincidences src/LoopClosing.cc:440-520)."""
     world = synthetic.BlobWorld.create(seed=3, n=3000)
-    n_frames = 80
+    n_frames = 100
     R_wc, t_wc = synthetic.orbit_trajectory(n_frames, radius=6.0,
-                                            frac=1.0)
+                                            frac=1.25)
     frames = synthetic.render_sequence(world, cameras.PINHOLE, PIN,
                                        R_wc, t_wc, W, H)
 
@@ -42,16 +44,34 @@ def test_full_orbit_loop_closes():
     lc = loop_closing.LoopCloser(
         None, cfg.max_kf,
         loop_closing.LoopConfig(candidate_source="spatial",
-                                spatial_radius=0.3))
+                                spatial_radius=0.3, run_gba=run_gba),
+        rig=mono_rig(), img_w=W, img_h=H)
     tracker = tracking.Tracker(mono_rig(), cfg, seed=0, loop_closer=lc)
     for i, img in enumerate(frames):
         tracker.process_frame(jnp.asarray(img), time=i / 20.0)
 
     assert tracker.state == tracker.OK
-    assert lc.n_loops >= 1, "no loop detected on a full orbit revisit"
+    assert lc.n_loops >= 1, "no loop detected on an orbit revisit"
 
     t_est, _, p_est = tracker.get_trajectory()
     t_gt = np.arange(n_frames) / 20.0
     res = evaluation.ate_rmse(t_est, p_est, t_gt, t_wc, with_scale=True)
-    # full 38 m orbit; with loop closure ATE should stay small
+    return res
+
+
+@pytest.mark.slow
+def test_full_orbit_loop_closes():
+    res = _run_orbit(run_gba=True)
+    # full 47 m path; with loop closure + post-loop GBA ATE stays small
     assert res["rmse"] < 0.8, res
+
+
+@pytest.mark.slow
+def test_post_loop_gba_tightens_map():
+    """The automatic GBA after CorrectLoop (reference:
+    RunGlobalBundleAdjustment, src/LoopClosing.cc:1372) must not degrade —
+    and should typically improve — the pose-graph-only correction."""
+    res_pg = _run_orbit(run_gba=False)
+    res_gba = _run_orbit(run_gba=True)
+    assert res_gba["rmse"] <= res_pg["rmse"] * 1.1 + 1e-3, (
+        res_pg, res_gba)

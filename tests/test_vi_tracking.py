@@ -123,6 +123,13 @@ class TestMonoInertial:
                                               imu_samples=batch))
         assert n_ok >= 20
         assert slam.tracker.imu_initialized
+        # FullInertialBA path of run_global_ba (reference: the GBA thread
+        # runs FullInertialBA on inertial maps, src/LoopClosing.cc:
+        # 2366-2368): must converge and keep the trajectory finite
+        chi = slam.run_global_ba()
+        assert np.isfinite(chi)
+        _, _, p_est = slam.tracker.get_trajectory()
+        assert np.isfinite(p_est).all()
 
 
 class TestBlackoutCoast:
