@@ -28,7 +28,8 @@ import numpy as np
 
 W, H = 640, 480
 FPS_IN = 20.0
-N_FRAMES = 40
+N_FRAMES = 100     # 1.25 orbits: the trajectory self-intersects so the
+                   # device-side loop closer must fire inside the timed pass
 BASELINE_M = 0.2
 
 
@@ -88,7 +89,7 @@ def main():
 
     rig, rig_np = build_rig()
     R_wb, t_wb = synthetic.orbit_trajectory(N_FRAMES, radius=6.0,
-                                            frac=0.25)
+                                            frac=1.25)
     # uint8 upload: 4x less host->device traffic per frame; the streaming
     # step casts to f32 on device
     frames = np.clip(render_rig_sequence(rig_np, R_wb, t_wb), 0,
@@ -126,7 +127,13 @@ def main():
     frame_imu = batches()
 
     def run():
-        tr = streaming_vi.StreamingVITracker(rig, cfg, noise, seed=0)
+        # device-side loop closing (pipeline/streaming_lc.py) runs inside
+        # the timed pass at keyframe cadence — the benchmark covers the
+        # FULL system (reference: the LoopClosing thread is always live,
+        # src/LoopClosing.cc:98), not drift-only odometry
+        tr = streaming_vi.StreamingVITracker(
+            rig, cfg, noise, seed=0,
+            device_lc=dict(sub=8, score_min=40, temporal=2))
         for i in range(N_FRAMES):
             t, b = frame_imu[i]
             tr.push(frames[i], t, b)
@@ -201,6 +208,7 @@ def main():
             "n_landmarks": int(snap["n_mp"]),
             "imu_initialized": bool(snap["imu_ok"]),
             "viba_stage": int(snap["viba_stage"]),
+            "loop_closures": int(snap.get("n_loops", 0)),
             "mean_frame_ms": round(elapsed / N_FRAMES * 1e3, 2),
             "stage_ms": {
                 "extract_4cam_8lvl": round(extract_ms, 2),

@@ -38,7 +38,9 @@ def main():
     print(f"loaded {seq.n_frames} frames; replaying {n}", file=sys.stderr)
 
     if args.settings:
-        cfg = cfg_mod.load_settings(args.settings)
+        # keep the RAW dict: System re-parses it (and the example
+        # indexes raw Camera*/ORBextractor keys)
+        cfg = cfg_mod.load_settings(args.settings)["raw"]
     else:
         cfg = cfg_mod.example_settings(n_cams=1)
         img0 = seq.frame(0)[0]

@@ -49,7 +49,9 @@ def main():
           f"replaying {n}", file=sys.stderr)
 
     if args.settings:
-        cfg = cfg_mod.load_settings(args.settings)
+        # keep the RAW dict: System re-parses it (and the example
+        # indexes raw Camera*/ORBextractor keys)
+        cfg = cfg_mod.load_settings(args.settings)["raw"]
         rig = cfg["rig"]
         noise = cfg["imu_noise"]
         W, H = cfg["camera_width"], cfg["camera_height"]

@@ -30,6 +30,16 @@ import jax as _jax
 # precision/preferred_element_type at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+import os as _os_plat
+
+# Explicit platform override (e.g. OPENMAVIS_PLATFORM=cpu for subprocess
+# tests): environments whose sitecustomize force-registers an accelerator
+# backend override JAX_PLATFORMS via jax.config, so an env var honored
+# AFTER import is the only reliable escape hatch.
+_plat_override = _os_plat.environ.get("OPENMAVIS_PLATFORM")
+if _plat_override:
+    _jax.config.update("jax_platforms", _plat_override)
+
 # Persistent compilation cache: the full pipeline is many large jitted
 # programs; first compile on TPU takes minutes, cached reloads are seconds.
 # CPU is excluded: jaxlib 0.9.0's XLA:CPU executable deserialization

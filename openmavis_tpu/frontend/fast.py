@@ -35,24 +35,62 @@ def _ring(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
-def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
-    """[..., 16] bool -> [...] bool: any circular run of >= ARC_LEN trues.
+def _arc_word(mask16: jnp.ndarray) -> jnp.ndarray:
+    """[16, H, W] bool -> [H, W] uint32 packed ring word (bit i = sample i).
 
-    Packs the 16 bools into an int32, doubles it (circular wrap), and
-    and-shift-folds to test runs of 9: r = x & (x>>1); r &= r>>2; r &= r>>4;
-    r &= x>>8 leaves a bit set iff 9 consecutive bits were set.
+    Packing over the MAJOR axis keeps every intermediate in the TPU-
+    friendly [H, W] layout — a [..., 16] minor axis would pad 16 -> 128
+    vector lanes and waste 8x the VPU/memory bandwidth.
     """
     weights = jnp.asarray((1 << np.arange(16)).astype(np.uint32))
+    return jnp.sum(mask16.astype(jnp.uint32) * weights[:, None, None],
+                   axis=0, dtype=jnp.uint32)
+
+
+def _word_has_arc(x: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] uint32 packed ring -> bool: any circular run of >= ARC_LEN.
+
+    Doubles the word (circular wrap) and and-shift-folds to test runs of
+    9: r = x & (x>>1); r &= r>>2; r &= r>>4; r &= x>>8 leaves a bit set
+    iff 9 consecutive bits were set.
+    """
     # uint32 throughout: >> must be a LOGICAL shift (int32 would arithmetic-
     # shift the sign bit of the doubled word back in and fake runs).
-    x = jnp.sum(mask16.astype(jnp.uint32) * weights, axis=-1,
-                dtype=jnp.uint32)
     x = x | (x << jnp.uint32(16))  # circular
     r = x & (x >> jnp.uint32(1))     # runs >= 2
     r = r & (r >> jnp.uint32(2))     # runs >= 4
     r = r & (r >> jnp.uint32(4))     # runs >= 8
     r = r & (x >> jnp.uint32(8))     # runs >= 9
     return r != 0
+
+
+def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
+    """[..., 16] bool -> [...] bool (compat wrapper; prefer the
+    [16, H, W]-major _arc_word/_word_has_arc pair in hot paths)."""
+    weights = jnp.asarray((1 << np.arange(16)).astype(np.uint32))
+    x = jnp.sum(mask16.astype(jnp.uint32) * weights, axis=-1,
+                dtype=jnp.uint32)
+    return _word_has_arc(x)
+
+
+def _score_from_diff(diff: jnp.ndarray, threshold: float,
+                     inside: jnp.ndarray) -> jnp.ndarray:
+    """[16, H, W] ring differences -> [H, W] FAST-9/16 score map."""
+    bright = diff > threshold
+    dark = diff < -threshold
+    is_corner = (_word_has_arc(_arc_word(bright))
+                 | _word_has_arc(_arc_word(dark)))
+    excess_b = jnp.sum(jnp.where(bright, diff - threshold, 0.0), axis=0)
+    excess_d = jnp.sum(jnp.where(dark, -diff - threshold, 0.0), axis=0)
+    score = jnp.maximum(excess_b, excess_d)
+    return jnp.where(is_corner & inside, score, 0.0)
+
+
+def _inside_mask(h: int, w: int, border: int) -> jnp.ndarray:
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ((ys >= border) & (ys < h - border)
+            & (xs >= border) & (xs < w - border))
 
 
 def fast_score_map(img: jnp.ndarray, threshold: float,
@@ -65,22 +103,8 @@ def fast_score_map(img: jnp.ndarray, threshold: float,
     """
     ring = _ring(img)                       # [16, H, W]
     diff = ring - img[None]                 # [16, H, W]
-    bright = diff > threshold
-    dark = diff < -threshold
-
-    is_corner = (_has_arc(jnp.moveaxis(bright, 0, -1))
-                 | _has_arc(jnp.moveaxis(dark, 0, -1)))
-
-    excess_b = jnp.sum(jnp.where(bright, diff - threshold, 0.0), axis=0)
-    excess_d = jnp.sum(jnp.where(dark, -diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(excess_b, excess_d)
-
     h, w = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = ((ys >= border) & (ys < h - border)
-              & (xs >= border) & (xs < w - border))
-    return jnp.where(is_corner & inside, score, 0.0)
+    return _score_from_diff(diff, threshold, _inside_mask(h, w, border))
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -105,10 +129,13 @@ def detect(img: jnp.ndarray, th_high: float, th_low: float,
     N = n_cells * topk_per_cell, sorted by cell order.
     """
     h, w = img.shape
-    s_low = nms3x3(fast_score_map(img, th_low, border))
-    # high-threshold corners are exactly the low-threshold corner set with
-    # score above (th_high - th_low) margin? No — arcs differ. Compute both.
-    s_high = nms3x3(fast_score_map(img, th_high, border))
+    # one ring/diff evaluation shared by both thresholds (the 16 shifted
+    # copies dominate the memory traffic of the detector)
+    ring = _ring(img)
+    diff = ring - img[None]
+    inside = _inside_mask(h, w, border)
+    s_low = nms3x3(_score_from_diff(diff, th_low, inside))
+    s_high = nms3x3(_score_from_diff(diff, th_high, inside))
 
     ch = cw = cell
     ny, nx = h // ch, w // cw

@@ -168,7 +168,13 @@ def integrate(w: jnp.ndarray, a: jnp.ndarray, dts: jnp.ndarray,
     def body(state, sample):
         return _step(state, sample, noise), None
 
-    out, _ = jax.lax.scan(body, init, (w, a, dts))
+    # unroll on accelerators: the body is hundreds of tiny 3x3/9x15 ops —
+    # as a rolled TPU loop each iteration pays launch overhead (~2.5
+    # ms/sample measured); unrolling lets XLA fuse across samples. On CPU
+    # the rolled loop runs fine and compiles ~10x faster, so keep it
+    # rolled there (the test mesh traces this dozens of times).
+    unroll = True if jax.default_backend() != "cpu" else 1
+    out, _ = jax.lax.scan(body, init, (w, a, dts), unroll=unroll)
     return out
 
 

@@ -150,3 +150,79 @@ def load_kitti(root: str, cams=("image_0",),
     return Sequence(cam_dirs=cam_dirs, cam_files=cam_files,
                     cam_times=times, imu=np.zeros((0, 7), np.float64),
                     _loader=loader)
+
+
+@dataclass
+class RgbdSequence:
+    """Associated RGB + depth frame pairs (TUM RGB-D layout)."""
+    root: str
+    rgb_files: list
+    depth_files: list
+    times: np.ndarray        # [T] seconds
+    depth_scale: float       # depth_png / depth_scale = meters
+    _loader: object = None
+
+    @property
+    def n_frames(self):
+        return len(self.times)
+
+    def frame(self, i: int):
+        """(gray [H, W] f32, depth_m [H, W] f32; 0 = no measurement)."""
+        gray = load_gray(os.path.join(self.root, self.rgb_files[i]),
+                         self._loader)
+        from PIL import Image
+        with Image.open(os.path.join(self.root,
+                                     self.depth_files[i])) as im:
+            depth = np.asarray(im, dtype=np.float32) / self.depth_scale
+        return gray, depth
+
+
+def load_tum_rgbd(root: str, depth_scale: float = 5000.0,
+                  max_dt: float = 0.02,
+                  use_native: bool = True) -> RgbdSequence:
+    """Load a TUM RGB-D sequence directory.
+
+    Layout: <root>/rgb.txt + depth.txt ("t path" lines); depth PNGs are
+    16-bit, 5000 units per meter. RGB and depth streams run at slightly
+    different rates — frames are associated by nearest timestamp within
+    `max_dt` (the evaluation/associate.py policy the reference ships;
+    reference main: Examples/RGB-D/rgbd_tum.cc LoadImages reads a
+    pre-associated file, this loader does the association inline).
+    """
+    def read_list(name):
+        ts, paths = [], []
+        with open(os.path.join(root, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                t, p = line.split()[:2]
+                ts.append(float(t))
+                paths.append(p)
+        return np.asarray(ts), paths
+
+    t_rgb, f_rgb = read_list("rgb.txt")
+    t_dep, f_dep = read_list("depth.txt")
+    rgb_files, depth_files, times = [], [], []
+    j = 0
+    for i, t in enumerate(t_rgb):
+        j = int(np.searchsorted(t_dep, t))
+        best, bdt = -1, max_dt
+        for jj in (j - 1, j):
+            if 0 <= jj < len(t_dep) and abs(t_dep[jj] - t) <= bdt:
+                best, bdt = jj, abs(t_dep[jj] - t)
+        if best >= 0:
+            rgb_files.append(f_rgb[i])
+            depth_files.append(f_dep[best])
+            times.append(t)
+    loader = None
+    if use_native:
+        try:
+            from . import native_loader
+            loader = native_loader.NativeDecoder()
+        except Exception:
+            loader = None
+    return RgbdSequence(root=root, rgb_files=rgb_files,
+                        depth_files=depth_files,
+                        times=np.asarray(times),
+                        depth_scale=depth_scale, _loader=loader)

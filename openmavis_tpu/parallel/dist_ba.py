@@ -16,7 +16,7 @@ per LM iteration.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..optim import ba
+
+# Every wrapper below builds its shard_map program through an lru_cache
+# keyed by (mesh, static config) and wraps it in jax.jit: without this,
+# each call re-traced an UNJITTED shard_map — measured 120x slower than
+# the jitted program on the 8-device CPU mesh (17.4 s vs 141 ms for the
+# Atlas-scale GBA) and the round-2 MULTICHIP numbers were dominated by
+# that retrace, not by sharding overheads.
 
 
 def make_mesh(devices=None, axis: str = "obs") -> Mesh:
@@ -46,6 +53,40 @@ def _pad_obs(obs: ba.BAObservations, n_dev: int):
         valid=padd(obs.valid, False))
 
 
+_PROG_CACHE: dict = {}
+
+
+def _cached_program(kind: str, mesh: Mesh, axis: str, key_extra,
+                    build):
+    key = (kind, mesh, axis, key_extra)
+    fn = _PROG_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _PROG_CACHE[key] = fn
+    return fn
+
+
+def _specs(state, obs_like, rig, point_fixed, edges, prior, axis,
+           points_sharded: bool = False):
+    rep = P()
+    obs_spec = ba.BAObservations(
+        kf=P(axis), mp=P(axis), cam=P(axis), uv=P(axis),
+        sigma2=P(axis), valid=P(axis))
+    if points_sharded:
+        state_spec = ba.BAState(R=rep, t=rep, v=rep, bg=rep, ba=rep,
+                                points=P(axis))
+        pf_spec = P(axis) if point_fixed is not None else None
+    else:
+        state_spec = jax.tree.map(lambda _: rep, state)
+        pf_spec = rep if point_fixed is not None else None
+    rig_spec = jax.tree.map(lambda _: rep, rig)
+    edges_spec = (None if edges is None
+                  else jax.tree.map(lambda _: rep, edges))
+    prior_spec = (None if prior is None
+                  else jax.tree.map(lambda _: rep, prior))
+    return state_spec, obs_spec, rig_spec, pf_spec, edges_spec, prior_spec
+
+
 def distributed_bundle_adjust(mesh: Mesh, state: ba.BAState,
                               obs: ba.BAObservations, rig,
                               pose_fixed, point_fixed=None,
@@ -59,31 +100,30 @@ def distributed_bundle_adjust(mesh: Mesh, state: ba.BAState,
     o_orig = obs.kf.shape[0]
     obs_p = _pad_obs(obs, n_dev)
 
-    obs_spec = ba.BAObservations(
-        kf=P(axis), mp=P(axis), cam=P(axis), uv=P(axis),
-        sigma2=P(axis), valid=P(axis))
+    (state_spec, obs_spec, rig_spec, pf_spec, edges_spec,
+     prior_spec) = _specs(state, obs_p, rig, point_fixed, edges, prior,
+                          axis)
 
-    rep = P()
+    def build():
+        def run(state, obs_shard, rig, pose_fixed, point_fixed, edges,
+                prior):
+            return ba.bundle_adjust(
+                state, obs_shard, rig, pose_fixed,
+                point_fixed=point_fixed, edges=edges, prior=prior,
+                prior_idx=prior_idx, stages=stages, psum_axis=axis)
 
-    def run(state, obs_shard, pose_fixed, point_fixed, edges, prior):
-        st, inl, chi = ba.bundle_adjust(
-            state, obs_shard, rig, pose_fixed, point_fixed=point_fixed,
-            edges=edges, prior=prior, prior_idx=prior_idx,
-            stages=stages, psum_axis=axis)
-        return st, inl, chi
+        return shard_map(
+            run, mesh=mesh,
+            in_specs=(state_spec, obs_spec, rig_spec, P(),
+                      pf_spec, edges_spec, prior_spec),
+            out_specs=(state_spec, P(axis), P()))
 
-    state_spec = jax.tree.map(lambda _: rep, state)
-    edges_spec = None if edges is None else jax.tree.map(lambda _: rep,
-                                                         edges)
-    prior_spec = None if prior is None else jax.tree.map(lambda _: rep,
-                                                         prior)
-    fn = shard_map(
-        run, mesh=mesh,
-        in_specs=(state_spec, obs_spec, rep,
-                  rep if point_fixed is not None else None,
-                  edges_spec, prior_spec),
-        out_specs=(state_spec, P(axis), rep))
-    st, inl, chi = fn(state, obs_p, pose_fixed, point_fixed, edges, prior)
+    fn = _cached_program(
+        "window", mesh, axis,
+        (stages, prior_idx, point_fixed is not None, edges is not None,
+         prior is not None), build)
+    st, inl, chi = fn(state, obs_p, rig, pose_fixed, point_fixed, edges,
+                      prior)
     return st, inl[:o_orig], chi
 
 
@@ -169,32 +209,31 @@ def distributed_global_ba_lsharded(mesh: Mesh, state: ba.BAState,
     Mp = M + pad_m
     obs_b, perm = shard_observations_by_landmark(obs, Mp, n_dev)
 
-    obs_spec = ba.BAObservations(
-        kf=P(axis), mp=P(axis), cam=P(axis), uv=P(axis),
-        sigma2=P(axis), valid=P(axis))
-    rep = P()
-    state_spec = ba.BAState(R=rep, t=rep, v=rep, bg=rep, ba=rep,
-                            points=P(axis))
-    edges_spec = None if edges is None else jax.tree.map(lambda _: rep,
-                                                         edges)
-    prior_spec = None if prior is None else jax.tree.map(lambda _: rep,
-                                                         prior)
+    (state_spec, obs_spec, rig_spec, pf_spec, edges_spec,
+     prior_spec) = _specs(state, obs_b, rig, point_fixed, edges, prior,
+                          axis, points_sharded=True)
 
-    def run(state, obs_shard, pose_fixed, point_fixed, edges, prior):
-        return global_ba.global_bundle_adjust(
-            state, obs_shard, rig, pose_fixed, point_fixed=point_fixed,
-            edges=edges, prior=prior, prior_idx=prior_idx,
-            stages=stages, cg_iters=cg_iters, psum_axis=axis,
-            points_local=True)
+    def build():
+        def run(state, obs_shard, rig, pose_fixed, point_fixed, edges,
+                prior):
+            return global_ba.global_bundle_adjust(
+                state, obs_shard, rig, pose_fixed,
+                point_fixed=point_fixed, edges=edges, prior=prior,
+                prior_idx=prior_idx, stages=stages, cg_iters=cg_iters,
+                psum_axis=axis, points_local=True)
 
-    fn = shard_map(
-        run, mesh=mesh,
-        in_specs=(state_spec, obs_spec, rep,
-                  P(axis) if point_fixed is not None else None,
-                  edges_spec, prior_spec),
-        out_specs=(state_spec, P(axis), rep))
-    st, inl_b, chi = fn(state, obs_b, pose_fixed, point_fixed, edges,
-                        prior)
+        return shard_map(
+            run, mesh=mesh,
+            in_specs=(state_spec, obs_spec, rig_spec, P(),
+                      pf_spec, edges_spec, prior_spec),
+            out_specs=(state_spec, P(axis), P()))
+
+    fn = _cached_program(
+        "lsharded", mesh, axis,
+        (stages, cg_iters, prior_idx, point_fixed is not None,
+         edges is not None, prior is not None), build)
+    st, inl_b, chi = fn(state, obs_b, rig, pose_fixed, point_fixed,
+                        edges, prior)
     st = st._replace(points=st.points[:M])
     # un-permute inliers back to the original observation order
     inl = jnp.zeros((o_orig,), bool)
@@ -228,27 +267,29 @@ def distributed_global_ba(mesh: Mesh, state: ba.BAState,
     o_orig = obs.kf.shape[0]
     obs_p = _pad_obs(obs, n_dev)
 
-    obs_spec = ba.BAObservations(
-        kf=P(axis), mp=P(axis), cam=P(axis), uv=P(axis),
-        sigma2=P(axis), valid=P(axis))
-    rep = P()
+    (state_spec, obs_spec, rig_spec, pf_spec, edges_spec,
+     prior_spec) = _specs(state, obs_p, rig, point_fixed, edges, prior,
+                          axis)
 
-    def run(state, obs_shard, pose_fixed, point_fixed, edges, prior):
-        return global_ba.global_bundle_adjust(
-            state, obs_shard, rig, pose_fixed, point_fixed=point_fixed,
-            edges=edges, prior=prior, prior_idx=prior_idx,
-            stages=stages, cg_iters=cg_iters, psum_axis=axis)
+    def build():
+        def run(state, obs_shard, rig, pose_fixed, point_fixed, edges,
+                prior):
+            return global_ba.global_bundle_adjust(
+                state, obs_shard, rig, pose_fixed,
+                point_fixed=point_fixed, edges=edges, prior=prior,
+                prior_idx=prior_idx, stages=stages, cg_iters=cg_iters,
+                psum_axis=axis)
 
-    state_spec = jax.tree.map(lambda _: rep, state)
-    edges_spec = None if edges is None else jax.tree.map(lambda _: rep,
-                                                         edges)
-    prior_spec = None if prior is None else jax.tree.map(lambda _: rep,
-                                                         prior)
-    fn = shard_map(
-        run, mesh=mesh,
-        in_specs=(state_spec, obs_spec, rep,
-                  rep if point_fixed is not None else None,
-                  edges_spec, prior_spec),
-        out_specs=(state_spec, P(axis), rep))
-    st, inl, chi = fn(state, obs_p, pose_fixed, point_fixed, edges, prior)
+        return shard_map(
+            run, mesh=mesh,
+            in_specs=(state_spec, obs_spec, rig_spec, P(),
+                      pf_spec, edges_spec, prior_spec),
+            out_specs=(state_spec, P(axis), P()))
+
+    fn = _cached_program(
+        "replicated_gba", mesh, axis,
+        (stages, cg_iters, prior_idx, point_fixed is not None,
+         edges is not None, prior is not None), build)
+    st, inl, chi = fn(state, obs_p, rig, pose_fixed, point_fixed, edges,
+                      prior)
     return st, inl[:o_orig], chi

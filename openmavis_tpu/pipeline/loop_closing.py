@@ -48,11 +48,18 @@ class LoopConfig:
     # mnLoopNumCoincidences / DetectCommonRegionsFromLastKF,
     # src/LoopClosing.cc:440-520, 1019)
     temporal_consistency: int = 2
-    # train a session vocabulary + switch retrieval to the KFDB inverted
-    # scores once the map has this many keyframes; dense descriptor
-    # scoring stays the small-map fast path (it is O(K^2 F^2))
+    # train a session vocabulary + switch retrieval to the word-sparse
+    # KFDB inverted scores once the map has this many keyframes; dense
+    # descriptor scoring stays the small-map fast path (it is O(K^2 F^2),
+    # capped by construction to maps below this size)
     vocab_train_kf: int = 40
     vocab_train_samples: int = 20000
+    # k=10, L=4 -> 10,000 words (reference ORBvoc is k=10 L=6; DBoW2
+    # TemplatedVocabulary.h) — the word-sparse database stores top-W
+    # (word, weight) pairs per keyframe, so memory is independent of
+    # vocabulary size (src/KeyFrameDatabase.cc:581 inverted file)
+    vocab_levels: int = 4
+    bow_top_w: int = 512
     # run whole-map GBA after a verified loop correction (reference:
     # CorrectLoop spawns RunGlobalBundleAdjustment, src/LoopClosing.cc:
     # 1372; FullInertialBA for inertial maps, 2366-2368)
@@ -226,7 +233,7 @@ class LoopCloser:
         self.vocab = vocab            # optional BoW path
         self.cfg = cfg
         self.max_kf = max_kf
-        self.db = (kdb.allocate(max_kf, vocab.n_words)
+        self.db = (kdb.allocate_sparse(max_kf, cfg.bow_top_w)
                    if vocab is not None else None)
         self.key = jax.random.PRNGKey(seed)
         self.n_loops = 0
@@ -289,12 +296,14 @@ class LoopCloser:
         rng = np.random.default_rng(0)
         take = min(cfg.vocab_train_samples, len(flat))
         flat = flat[rng.permutation(len(flat))[:take]]
-        self.vocab = voc.train(flat, k=10, levels=3)
-        self.db = kdb.allocate(self.max_kf, self.vocab.n_words)
-        bows = jax.vmap(voc.transform, in_axes=(None, 0, 0))(
-            self.vocab, m.kf_desc, m.kf_feat_valid)
-        self.db = kdb.KeyframeDB(
-            bow=jnp.where(m.kf_valid[:, None], bows, 0.0),
+        self.vocab = voc.train(flat, k=10, levels=cfg.vocab_levels)
+        # backfill the word-sparse database for every existing keyframe
+        words, wts = jax.vmap(
+            voc.transform_sparse, in_axes=(None, 0, 0, None))(
+            self.vocab, m.kf_desc, m.kf_feat_valid, cfg.bow_top_w)
+        self.db = kdb.SparseKeyframeDB(
+            word=jnp.where(m.kf_valid[:, None], words, 0),
+            wt=jnp.where(m.kf_valid[:, None], wts, 0.0),
             valid=m.kf_valid)
 
     def _candidates(self, m: ms.MapState, slot: int, cov):
@@ -314,12 +323,16 @@ class LoopCloser:
             top = jax.lax.top_k(scores, 3)[1]
             ok = jnp.isfinite(scores[top])
         elif self.vocab is not None:
-            bow = voc.transform(self.vocab, m.kf_desc[slot],
-                                m.kf_feat_valid[slot])
-            self.db = kdb.add(self.db, slot, bow)
-            min_score = kdb.min_covisible_score(
-                self.db, bow, cov[slot], cfg.covis_exclude)
-            _, top, ok = kdb.query(self.db, bow, exclude, min_score)
+            q_word, q_wt = voc.transform_sparse(
+                self.vocab, m.kf_desc[slot], m.kf_feat_valid[slot],
+                cfg.bow_top_w)
+            self.db = kdb.add_sparse(self.db, slot, q_word, q_wt)
+            nw = self.vocab.n_words
+            min_score = kdb.min_covisible_score_sparse(
+                self.db, q_word, q_wt, cov[slot], nw,
+                cov_threshold=cfg.covis_exclude)
+            _, top, ok = kdb.query_sparse(self.db, q_word, q_wt,
+                                          exclude, min_score, nw)
         else:
             scores = trk.descriptor_place_scores(m, jnp.asarray(slot))
             scores = jnp.where(exclude, -1, scores)

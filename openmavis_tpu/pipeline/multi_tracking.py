@@ -396,6 +396,8 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
       edge_ok [W-1]: edge mask; last: index of the newest window entry.
     Returns (m', bias' [6]).
     """
+    from ..optim import global_ba
+
     K, CF = m.kf_obs.shape
     W = ids.shape[0]
     edges = ba.InertialEdges(pre=pre_b, valid=edge_ok)
@@ -407,18 +409,35 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
              & kf_in[kf_local])
     mp_safe = jnp.where(valid, mp, 0)
     valid = valid & m.mp_valid[mp_safe]
+    # --- window-local landmark compaction (same pattern as the mono
+    # local_ba_step): the dense Schur coupling scales with the landmark
+    # capacity — over the FULL map (M=16384 at flagship) it materializes a
+    # [W*M, 6, 3] (170 MB) Hpl by scatter-add per LM iteration, measured
+    # 219 ms per window BA on TPU. Compacting to the <= ML window-observed
+    # landmarks keeps the EXACT dense solve (a matrix-free PCG variant
+    # measurably under-converges on weakly-conditioned mono-inertial
+    # windows) at a fraction of the tensors.
+    M = m.mp_pos.shape[0]
+    ML = min(M, 4096)
+    seen = jnp.zeros((M,), bool).at[mp_safe].max(valid)
+    order = jnp.cumsum(seen.astype(jnp.int32)) - 1
+    keep = seen & (order < ML)
+    inv = jnp.zeros((ML + 1,), jnp.int32).at[
+        jnp.where(keep, order, ML)].set(jnp.arange(M))[:ML]
+    n_local = jnp.minimum(jnp.sum(seen.astype(jnp.int32)), ML)
+    used = jnp.arange(ML) < n_local
+    valid = valid & keep[mp_safe]
     obs = ba.BAObservations(
-        kf=kf_local, mp=mp_safe, cam=m.kf_cam[slots, featix],
+        kf=kf_local, mp=jnp.where(valid, order[mp_safe], 0),
+        cam=m.kf_cam[slots, featix],
         uv=m.kf_xy[slots, featix], sigma2=m.kf_sigma2[slots, featix],
         valid=valid)
     state0 = ba.BAState(
         R=m.kf_R[ids], t=m.kf_t[ids], v=m.kf_v[ids],
-        bg=m.kf_bg[ids], ba=m.kf_ba[ids], points=m.mp_pos)
+        bg=m.kf_bg[ids], ba=m.kf_ba[ids], points=m.mp_pos[inv])
     fixed = (jnp.arange(W) < 1) | ~kf_in
-    M = m.mp_pos.shape[0]
-    observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
     state, inlier, chi = ba.bundle_adjust(
-        state0, obs, rig, fixed, point_fixed=~observed,
+        state0, obs, rig, fixed, point_fixed=~used,
         edges=edges, stages=(4, 6))
     good = jnp.isfinite(chi)
     # dump-slot scatter: padded window entries (duplicate ids) write to
@@ -434,8 +453,10 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
         kf_R=wr(m.kf_R, state.R), kf_t=wr(m.kf_t, state.t),
         kf_v=wr(m.kf_v, state.v), kf_bg=wr(m.kf_bg, state.bg),
         kf_ba=wr(m.kf_ba, state.ba),
-        mp_pos=jnp.where((observed & good)[:, None], state.points,
-                         m.mp_pos),
+        # compacted points scatter back through inv; unused local slots
+        # target index M (out of bounds -> dropped by the default scatter)
+        mp_pos=m.mp_pos.at[jnp.where(used & good, inv, M)].set(
+            state.points),
         kf_obs=jnp.concatenate([m.kf_obs, m.kf_obs[:1]], axis=0).at[
             jnp.where(kf_in[kf_local] & good, slots, K), featix].set(
             jnp.where(valid & ~inlier, -1,

@@ -1,0 +1,298 @@
+"""Device-side loop closing for the streaming VI pipeline.
+
+The host-policy `loop_closing.LoopCloser` reads device scalars at every
+decision point (candidate counts, RANSAC success flags, projection scores)
+— a dozen device->host syncs per invocation. Through a tunneled TPU
+transport one sync costs seconds, so the reference's LoopClosing-thread
+cadence (every keyframe, src/LoopClosing.cc:98) is unreachable that way.
+
+This module is the TPU-native answer: the ENTIRE acceptance chain —
+retrieval, Sim3 RANSAC, projection refinement, covisible-group projection
+verification, temporal-consistency bookkeeping, essential-graph (Sim3 or
+4DoF) correction, landmark propagation, and (optionally) the post-loop
+FullInertialBA — is ONE jitted device program dispatched once per frame
+with zero host reads. Non-keyframe frames fall through a `lax.cond` in
+microseconds.
+
+Reference parity (citations into /root/reference):
+* retrieval                 KeyFrameDatabase::DetectNBestCandidates
+                            src/KeyFrameDatabase.cc:581 — realized as a
+                            subsampled direct-descriptor MXU score (the
+                            vocabulary-trained KFDB stays the host path;
+                            on-device the raw Hamming evidence is
+                            affordable and strictly stronger per pair)
+* Sim3 RANSAC + refine      LoopClosing.cc:812-935, Sim3Solver.cc,
+                            Optimizer::OptimizeSim3 src/Optimizer.cc:2460
+* group projection verify   DetectCommonRegionsFromBoW projection gate,
+                            src/LoopClosing.cc:944-994
+* temporal consistency      mnLoopNumCoincidences machinery,
+                            src/LoopClosing.cc:440-520
+* correction                CorrectLoop -> OptimizeEssentialGraph(4DoF)
+                            src/LoopClosing.cc:1108-1372
+* post-loop GBA             RunGlobalBundleAdjustment / FullInertialBA,
+                            src/LoopClosing.cc:2351-2470
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend import matcher
+from ..utils import device as dev
+from ..geometry import lie
+from ..optim import pose_graph, sim3_refine
+from ..slam_map import map_state as ms
+from ..solvers import sim3 as sim3_mod
+from . import loop_closing as lc_mod
+
+__all__ = ["LCCarry", "init_lc_carry", "make_lc_step"]
+
+
+class LCCarry(NamedTuple):
+    """Device-resident loop-closing state (the host LoopCloser's pending-
+    hypothesis dict as arrays)."""
+    last_slot: jnp.ndarray    # [] i32 newest processed keyframe slot
+    cand: jnp.ndarray         # [] i32 pending candidate (-1 = none)
+    pend_slot: jnp.ndarray    # [] i32 slot the pending Sim3 refers to
+    count: jnp.ndarray        # [] i32 consecutive confirmations
+    s: jnp.ndarray            # [] pending Sim3 body(pend_slot)->body(cand)
+    R: jnp.ndarray            # [3,3]
+    t: jnp.ndarray            # [3]
+    n_loops: jnp.ndarray      # [] i32 total corrections applied
+    cooldown: jnp.ndarray     # [] i32 keyframes to skip after a loop
+
+
+def init_lc_carry() -> LCCarry:
+    return LCCarry(
+        last_slot=jnp.full((), -1, jnp.int32),
+        cand=jnp.full((), -1, jnp.int32),
+        pend_slot=jnp.full((), -1, jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        s=jnp.ones(()), R=jnp.eye(3), t=jnp.zeros(3),
+        n_loops=jnp.zeros((), jnp.int32),
+        cooldown=jnp.zeros((), jnp.int32))
+
+
+def _retrieval_scores(m: ms.MapState, slot, sub: int):
+    """[K] match-count scores of keyframe `slot` against every keyframe,
+    over a 1/sub descriptor subsample (memory-bounded MXU scoring)."""
+    K, CF = m.kf_obs.shape
+    q = m.kf_desc[slot]
+    qv = m.kf_feat_valid[slot]
+    dsub = m.kf_desc[:, ::sub].reshape(-1, 256)
+    vsub = (m.kf_feat_valid[:, ::sub]
+            & m.kf_valid[:, None]).reshape(-1)
+    dist = matcher.hamming_matrix(q, dsub)
+    dist = jnp.where(qv[:, None] & vsub[None, :], dist, 1 << 20)
+    best = jnp.min(dist.reshape(CF, K, -1), axis=2)     # [CF, K]
+    return jnp.sum((best < matcher.TH_LOW).astype(jnp.int32), axis=0)
+
+
+def _covis_edges(cov, s0, R_cw, t_cw, n_kf, n_edges: int,
+                 threshold: int):
+    """Top-`n_edges` covisibility edges (upper triangle, offset >= 2) with
+    relative Sim3 measured from current poses (jit replacement of the
+    host `_correct` numpy edge harvest)."""
+    K = cov.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ok = ((jj >= ii + 2) & (cov >= threshold)
+          & (ii < n_kf) & (jj < n_kf))
+    score = jnp.where(ok, cov, -1).reshape(-1)
+    _, flat = jax.lax.top_k(score, n_edges)
+    ei = (flat // K).astype(jnp.int32)
+    ej = (flat % K).astype(jnp.int32)
+    valid = score[flat] > 0
+    si_, Ri_, ti_ = lie.sim3_inverse(s0[ei], R_cw[ei], t_cw[ei])
+    se, Re, te = lie.sim3_compose(s0[ej], R_cw[ej], t_cw[ej],
+                                  si_, Ri_, ti_)
+    return pose_graph.PoseGraphEdges(
+        i=ei, j=ej, s=se, R=Re, t=te,
+        weight=jnp.ones((n_edges,)), valid=valid)
+
+
+def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
+                 img_w: float, img_h: float,
+                 sub: int = 8, score_min: int = 40,
+                 min_pairs: int = 20, min_group: int = 25,
+                 temporal: int = 2, recent_exclude: int = 8,
+                 covis_exclude: int = 15, cov_edge_threshold: int = 30,
+                 n_cov_edges: int = 64, cooldown_kf: int = 10,
+                 run_gba: bool = False):
+    """Build the jitted per-frame loop-closing program.
+
+    Returns step(m, c, lcc, rig) -> (m, c, lcc) where `c` is the
+    streaming VIStreamCarry (its pose is re-expressed through its
+    reference keyframe when a correction fires, and its preintegration
+    chain feeds the optional FullInertialBA).
+    """
+
+    def _solve_candidate(m, key, slot, cand, rig):
+        """Matched pairs -> RANSAC -> projection refine. Returns
+        (ok, n_pairs, s, R, t) with the Sim3 body(slot)->body(cand)."""
+        pairs = lc_mod._pairs_from_tables(
+            lc_mod._tables(m), lc_mod._tables(m), slot, cand)
+        n_pairs = jnp.sum(pairs.valid.astype(jnp.int32))
+        res = sim3_mod.ransac_sim3(
+            key, pairs.p_a, pairs.p_b, pairs.valid,
+            fix_scale=inertial, min_inliers=min_pairs)
+        cam_a = jnp.clip(pairs.cam_a, 0, rig.params.shape[0] - 1)
+        cam_b = jnp.clip(pairs.cam_b, 0, rig.params.shape[0] - 1)
+        ref = sim3_refine.refine_sim3(
+            res.s, res.R, res.t, pairs.p_a, pairs.p_b,
+            pairs.uv_a, pairs.uv_b, pairs.sigma2_a, pairs.sigma2_b,
+            pairs.valid & res.inlier, rig_kind,
+            rig.params[cam_a], rig.params[cam_b],
+            rig.R_cb[cam_a], rig.t_cb[cam_a],
+            rig.R_cb[cam_b], rig.t_cb[cam_b],
+            fix_scale=inertial)
+        ok = (res.success & (n_pairs >= min_pairs)
+              & (ref.n_inliers >= min_pairs)
+              & jnp.isfinite(ref.s) & (ref.s > 0.1) & (ref.s < 10.0))
+        return ok, n_pairs, ref.s, ref.R, ref.t
+
+    def _correct(m, c, slot, cand, s_m, R_m, t_m, cov, rig):
+        """Essential-graph correction + landmark propagation + carry
+        re-expression (+ optional FullInertialBA)."""
+        K = m.kf_R.shape[0]
+        n_kf = m.n_kf
+        R_cw = jnp.swapaxes(m.kf_R, -1, -2)
+        t_cw = -jnp.einsum("kij,kj->ki", R_cw, m.kf_t)
+        s0 = jnp.ones((K,))
+        edges = pose_graph.sequential_edges(s0, R_cw, t_cw, n_kf, K)
+        cov_e = _covis_edges(cov, s0, R_cw, t_cw, n_kf, n_cov_edges,
+                             cov_edge_threshold)
+        si_r, Ri_r, ti_r = lie.sim3_inverse(s_m, R_m, t_m)
+        loop_e = pose_graph.PoseGraphEdges(
+            i=cand[None], j=slot[None],
+            s=si_r[None], R=Ri_r[None], t=ti_r[None],
+            weight=jnp.asarray([5.0]), valid=jnp.asarray([True]))
+        edges = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                             edges, cov_e, loop_e)
+        fixed = jnp.zeros((K,), bool).at[cand].set(True)
+        if inertial:
+            edges3 = pose_graph.PoseGraphEdgesSE3(
+                i=edges.i, j=edges.j, R=edges.R, t=edges.t,
+                weight=edges.weight, valid=edges.valid)
+            R_o, t_o, _ = pose_graph.optimize_pose_graph_4dof(
+                R_cw, t_cw, edges3, fixed, m.kf_valid)
+            s_o = jnp.ones((K,))
+        else:
+            s_o, R_o, t_o, _ = pose_graph.optimize_pose_graph(
+                s0, R_cw, t_cw, edges, fixed, m.kf_valid)
+
+        old_R, old_t = m.kf_R, m.kf_t
+        m = lc_mod._correct_map(m, s_o, R_o, t_o)
+
+        if run_gba:
+            from . import tracking as trk
+            if inertial:
+                pre_b = jax.tree.map(lambda x: x[1:], c.chain)
+                m, _ = trk.global_inertial_ba_step(
+                    m, pre_b, c.chain_valid[1:], rig_kind, rig)
+            else:
+                m, _ = trk.global_ba_step(m, rig_kind, rig)
+
+        # re-express the live tracker pose through its reference keyframe
+        ref = jnp.maximum(c.last_kf_slot, 0)
+        R_rel = jnp.swapaxes(old_R[ref], -1, -2) @ c.R
+        t_rel = jnp.einsum("ji,j->i", old_R[ref], c.p - old_t[ref])
+        dR = m.kf_R[ref] @ jnp.swapaxes(old_R[ref], -1, -2)
+        c = c._replace(R=m.kf_R[ref] @ R_rel,
+                       p=m.kf_t[ref] + m.kf_R[ref] @ t_rel,
+                       v=dR @ c.v)
+        return m, c
+
+    @jax.jit
+    def step(m, c, lcc: LCCarry, rig):
+        with dev.host_trace():
+            return _step(m, c, lcc, rig)
+
+    def _step(m, c, lcc: LCCarry, rig):
+        slot = m.n_kf - 1
+        fresh_kf = ((slot != lcc.last_slot) & (slot >= recent_exclude)
+                    & (lcc.cooldown <= 0))
+        lcc = lcc._replace(
+            last_slot=jnp.where(slot != lcc.last_slot, slot,
+                                lcc.last_slot),
+            cooldown=jnp.where(slot != lcc.last_slot,
+                               jnp.maximum(lcc.cooldown - 1, 0),
+                               lcc.cooldown))
+
+        def process(m, c, lcc):
+            key, k1 = jax.random.split(c.key)
+            c2 = c._replace(key=key)
+            K = m.kf_R.shape[0]
+            cov = ms.covisibility_matrix(m)
+
+            # ---- retrieval (fresh candidate) -----------------------
+            scores = _retrieval_scores(m, slot, sub)
+            idx = jnp.arange(K)
+            exclude = ((idx > slot - recent_exclude)
+                       | (cov[slot] >= covis_exclude)
+                       | ~m.kf_valid | (idx >= m.n_kf))
+            sc = jnp.where(exclude, -1, scores)
+            cand_new = jnp.argmax(sc).astype(jnp.int32)
+            cand_ok = sc[cand_new] >= score_min
+
+            # pending hypothesis takes priority (temporal consistency)
+            has_pending = (lcc.cand >= 0) & (slot > lcc.pend_slot)
+            cand = jnp.where(has_pending, lcc.cand, cand_new)
+            do_solve = has_pending | cand_ok
+
+            ok_s, n_pairs, s_n, R_n, t_n = _solve_candidate(
+                m, k1, slot, cand, rig)
+
+            # hypothesis to verify: recomposed pending Sim3 when pending,
+            # else the fresh solve (S'(slot->cand) = S_p o T(pend<-slot))
+            R_o, t_o = m.kf_R[lcc.pend_slot], m.kf_t[lcc.pend_slot]
+            R_s, t_s = m.kf_R[slot], m.kf_t[slot]
+            R_re = lcc.R @ R_o.T @ R_s
+            t_re = lcc.s * (lcc.R @ (R_o.T @ (t_s - t_o))) + lcc.t
+            s_h = jnp.where(has_pending, lcc.s, s_n)
+            R_h = jnp.where(has_pending, R_re, R_n)
+            t_h = jnp.where(has_pending, t_re, t_n)
+
+            g_score = lc_mod.group_projection_score(
+                m, slot, cand, cov[cand], s_h, R_h, t_h, rig_kind,
+                n_cams, rig, img_w, img_h)
+            verified = (g_score >= min_group) & (has_pending | ok_s)
+
+            count = jnp.where(
+                verified, jnp.where(has_pending, lcc.count + 1, 1), 0)
+            # correction Sim3: prefer a fresh solve at the confirming
+            # keyframe; fall back to the group-verified recomposed
+            # pending hypothesis (the RANSAC hit rate per keyframe is
+            # well below 1 — requiring a fresh success at the exact
+            # confirm slot would drop most temporally-consistent loops)
+            confirm = verified & (count >= temporal)
+            s_u = jnp.where(ok_s, s_n, s_h)
+            R_u = jnp.where(ok_s, R_n, R_h)
+            t_u = jnp.where(ok_s, t_n, t_h)
+
+            def fire(m, c2):
+                return _correct(m, c2, slot, cand, s_u, R_u, t_u,
+                                cov, rig)
+
+            m, c2 = jax.lax.cond(confirm, fire,
+                                 lambda m, c2: (m, c2), m, c2)
+            lcc = lcc._replace(
+                cand=jnp.where(confirm | ~verified, -1, cand),
+                pend_slot=jnp.where(verified & ~confirm, slot,
+                                    -1).astype(jnp.int32),
+                count=jnp.where(confirm, 0, count),
+                s=jnp.where(verified & ~has_pending, s_n, s_h),
+                R=jnp.where(verified & ~has_pending, R_n, R_h),
+                t=jnp.where(verified & ~has_pending, t_n, t_h),
+                n_loops=lcc.n_loops + confirm.astype(jnp.int32),
+                cooldown=jnp.where(confirm, cooldown_kf,
+                                   lcc.cooldown))
+            return m, c2, lcc
+
+        return jax.lax.cond(fresh_kf, process,
+                            lambda m, c, lcc: (m, c, lcc), m, c, lcc)
+
+    return step

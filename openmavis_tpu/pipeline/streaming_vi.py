@@ -747,7 +747,7 @@ class StreamingVITracker:
 
     def __init__(self, rig: RigParams, cfg: VIStreamConfig,
                  noise: pre_mod.ImuNoise | None = None, seed: int = 0,
-                 dist=None, loop_closer=None):
+                 dist=None, loop_closer=None, device_lc=False):
         self.cfg = cfg
         self.noise = noise or pre_mod.ImuNoise.from_sigmas(
             1.7e-4, 2e-3, 1.9e-5, 3e-3, cfg.imu_freq)
@@ -768,6 +768,21 @@ class StreamingVITracker:
         self._t_prev: float | None = None
         self.loop_closer = loop_closer
         self._last_lc_slot = -1
+        # device-side loop closing: the whole detection->correction chain
+        # as one jitted program per frame (pipeline/streaming_lc.py) —
+        # zero host syncs, unlike the host-policy `loop_closer` path.
+        self._lc_step = None
+        self.lc_carry = None
+        if device_lc:
+            from . import streaming_lc
+            lc_kw = device_lc if isinstance(device_lc, dict) else {}
+            self._lc_step = streaming_lc.make_lc_step(
+                cfg, rig.kind, cfg.n_cams,
+                inertial=cfg.use_imu, img_w=float(cfg.img_w),
+                img_h=float(cfg.img_h), **lc_kw)
+            with dev.host_trace():
+                self.lc_carry = streaming_lc.init_lc_carry()
+            self.lc_carry = dev.commit(self.lc_carry)
 
     def _imu_arrays(self, samples, t_now: float):
         """Pad host IMU samples into fixed [S,3]/[S,3]/[S] buffers covering
@@ -804,6 +819,9 @@ class StreamingVITracker:
             self.map, self.carry = self._step(
                 self.map, self.carry, dev.commit(np.asarray(images)),
                 jnp.asarray(time, jnp.float32), w, a, dt)
+            if self._lc_step is not None:
+                self.map, self.carry, self.lc_carry = self._lc_step(
+                    self.map, self.carry, self.lc_carry, self.rig)
         self._t_prev = time
         self._snap = None
 
@@ -854,13 +872,16 @@ class StreamingVITracker:
         if getattr(self, "_snap", None) is not None:
             return self._snap
         tr = self.carry.traj
-        snap = self._packer.fetch(dict(
+        fields = dict(
             time=tr.time, ref=tr.ref, R_rel=tr.R_rel, t_rel=tr.t_rel,
             ok=tr.ok, idx=tr.idx,
             kf_R=self.map.kf_R, kf_t=self.map.kf_t,
             n_kf=self.map.n_kf, n_mp=self.map.n_mp,
             imu_ok=self.carry.imu_ok.astype(jnp.int32),
-            viba_stage=self.carry.viba_stage))
+            viba_stage=self.carry.viba_stage)
+        if self.lc_carry is not None:
+            fields["n_loops"] = self.lc_carry.n_loops
+        snap = self._packer.fetch(fields)
         self._snap = snap
         return snap
 

@@ -14,6 +14,9 @@ from openmavis_tpu.pipeline import loop_closing, tracking
 from openmavis_tpu.slam_map import atlas as atlas_mod
 from openmavis_tpu.io import synthetic
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 W, H = 512, 384
 PIN = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
 

@@ -11,6 +11,9 @@ from openmavis_tpu.optim import ba
 from openmavis_tpu.optim.reprojection import RigParams
 from openmavis_tpu.parallel import dist_ba, dist_place
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 F = jnp.float32
 PIN = jnp.array([400.0, 400.0, 320.0, 240.0, 0, 0, 0, 0], dtype=F)
 

@@ -1,0 +1,208 @@
+"""On-disk end-to-end tests: example mains driven through their CLI.
+
+Closes VERDICT r2 weak #6 / next #8: renders a synthetic sequence to PNG
+files in the reference dataset layouts (EuRoC mav0/, TUM RGB-D), then runs
+the example scripts as subprocesses — exercising the native PNG loader,
+the dataset loaders, the System facade, the trajectory writers and the ATE
+harness exactly as a user would (reference mains:
+Examples/Monocular/mono_euroc.cc, Examples/Stereo/stereo_euroc.cc,
+Examples/RGB-D/rgbd_tum.cc)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openmavis_tpu.geometry import cameras
+from openmavis_tpu.io import evaluation, synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+W, H = 320, 240
+FX = 260.0
+PIN = np.array([FX, FX, W / 2, H / 2, 0, 0, 0, 0], np.float32)
+N = 30
+DT = 0.05
+BASELINE = 0.2
+
+
+def _render(world, R_wc, t_wc):
+    return np.clip(synthetic.render_sequence(
+        world, cameras.PINHOLE, PIN, R_wc, t_wc, W, H), 0,
+        255).astype(np.uint8)
+
+
+def _write_euroc_cam(mav, cam, frames, times_ns):
+    d = os.path.join(mav, cam, "data")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(mav, cam, "data.csv"), "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for ts, img in zip(times_ns, frames):
+            name = f"{ts}.png"
+            Image.fromarray(img).save(os.path.join(d, name))
+            f.write(f"{ts},{name}\n")
+
+
+def _write_imu_csv(mav, times_ns):
+    os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
+    with open(os.path.join(mav, "imu0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],wx,wy,wz,ax,ay,az\n")
+        for ts in times_ns:
+            f.write(f"{ts},0,0,0,0,0,-9.81\n")
+
+
+def _write_gt_tum(path, times, t_wc):
+    with open(path, "w") as f:
+        for t, p in zip(times, t_wc):
+            f.write(f"{t} {p[0]} {p[1]} {p[2]} 0 0 0 1\n")
+
+
+def _run_example(script, argv):
+    env = dict(os.environ, OPENMAVIS_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *argv],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    return proc
+
+
+@pytest.mark.slow
+def test_mono_euroc_from_disk(tmp_path):
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wc, t_wc = synthetic.orbit_trajectory(N, radius=6.0, frac=0.22)
+    frames = _render(world, R_wc, t_wc)
+    times_ns = [int((i * DT) * 1e9) for i in range(N)]
+    mav = tmp_path / "seq" / "mav0"
+    _write_euroc_cam(str(mav), "cam0", frames, times_ns)
+    _write_imu_csv(str(mav), times_ns)
+    gt = tmp_path / "gt.txt"
+    _write_gt_tum(str(gt), [i * DT for i in range(N)], t_wc)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": np.eye(4).tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+    }))
+    proc = _run_example("mono_euroc.py", [
+        str(tmp_path / "seq"), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= N - 6, proc.stderr
+    t_gt = np.arange(N) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wc,
+                              with_scale=True)
+    # mono scale is arbitrary; after Horn+scale the short arc must align
+    # (30-frame mono-only geometry is weak — this gate validates the
+    # disk -> CLI -> native loader -> trajectory -> ATE wiring, while the
+    # accuracy budget is owned by bench.py and the tracking tests)
+    assert res["rmse"] < 0.5, (res, proc.stderr)
+    assert "ATE RMSE" in proc.stderr
+
+
+@pytest.mark.slow
+def test_stereo_euroc_from_disk(tmp_path):
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wb, t_wb = synthetic.orbit_trajectory(N, radius=6.0, frac=0.22)
+    times_ns = [int((i * DT) * 1e9) for i in range(N)]
+    mav = tmp_path / "seq" / "mav0"
+    centers = np.array([[-BASELINE / 2, 0, 0], [BASELINE / 2, 0, 0]],
+                       np.float32)
+    for ci, cam in enumerate(("cam0", "cam1")):
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, centers[ci])
+        frames = _render(world, R_wb, t_wc)
+        _write_euroc_cam(str(mav), cam, frames, times_ns)
+    _write_imu_csv(str(mav), times_ns)
+    gt = tmp_path / "gt.txt"
+    # ground truth in cam0 frame (EuRoC convention: left camera)
+    t_wc0 = t_wb + np.einsum("tij,j->ti", R_wb, centers[0])
+    _write_gt_tum(str(gt), [i * DT for i in range(N)], t_wc0)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    T1 = np.eye(4); T1[0, 3] = -BASELINE / 2
+    T2 = np.eye(4); T2[0, 3] = BASELINE / 2
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T1.tolist()},
+        "Camera2": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T2.tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+    }))
+    proc = _run_example("stereo_euroc.py", [
+        str(tmp_path / "seq"), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= N - 6, proc.stderr
+    t_gt = np.arange(N) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wb,
+                              with_scale=True)
+    # metric scale from the rig baseline: Horn scale must be ~1
+    assert res["rmse"] < 0.25, (res, proc.stderr)
+    assert abs(res["scale"] - 1.0) < 0.12, res
+
+
+@pytest.mark.slow
+def test_rgbd_tum_from_disk(tmp_path):
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wc, t_wc = synthetic.orbit_trajectory(N, radius=6.0, frac=0.22)
+    frames = _render(world, R_wc, t_wc)
+    depths = synthetic.render_depth_sequence(world, cameras.PINHOLE,
+                                             PIN, R_wc, t_wc, W, H)
+    root = tmp_path / "seq"
+    os.makedirs(root / "rgb"); os.makedirs(root / "depth")
+    rgb_lines, dep_lines = [], []
+    for i in range(N):
+        t = i * DT
+        Image.fromarray(frames[i]).save(root / "rgb" / f"{t:.6f}.png")
+        d16 = np.clip(depths[i] * 5000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(
+            root / "depth" / f"{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+    (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines))
+    (root / "depth.txt").write_text("# depth\n" + "\n".join(dep_lines))
+    gt = tmp_path / "gt.txt"
+    _write_gt_tum(str(gt), [i * DT for i in range(N)], t_wc)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": np.eye(4).tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+    }))
+    proc = _run_example("rgbd_tum.py", [
+        str(root), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= N - 6, proc.stderr
+    t_gt = np.arange(N) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wc,
+                              with_scale=True)
+    assert res["rmse"] < 0.25, (res, proc.stderr)
+    # depth gives metric scale directly
+    assert abs(res["scale"] - 1.0) < 0.12, res

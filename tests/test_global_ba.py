@@ -12,6 +12,9 @@ from openmavis_tpu.optim.reprojection import RigParams
 
 from test_ba import make_window, mono_rig
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 F = jnp.float32
 
 

@@ -9,6 +9,9 @@ from openmavis_tpu.geometry import lie
 from openmavis_tpu.imu import preintegration as pre_mod
 from openmavis_tpu.optim import inertial_init
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 F = jnp.float32
 
 

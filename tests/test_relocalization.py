@@ -10,6 +10,9 @@ from openmavis_tpu.io import synthetic
 from openmavis_tpu.optim.reprojection import RigParams
 from openmavis_tpu.pipeline import tracking
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 W, H = 512, 384
 PIN = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
 

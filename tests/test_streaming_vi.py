@@ -124,3 +124,50 @@ class TestStreamingVI:
         # scale recovered from the IMU (fix_scale=False init)
         assert abs(res["scale"] - 1.0) < 0.2, res
         assert res["rmse"] < 0.5, res
+
+
+@pytest.mark.slow
+def test_device_lc_closes_loop():
+    """Device-side loop closing (pipeline/streaming_lc.py): a 1.25-orbit
+    stereo-VI stream must detect the revisit and apply a correction with
+    ZERO host syncs — lc_carry.n_loops advances and the trajectory stays
+    accurate (reference cadence: LoopClosing::Run per keyframe,
+    src/LoopClosing.cc:98)."""
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    n_frames = 100
+    R_wb, t_wb = synthetic.orbit_trajectory(n_frames, radius=6.0,
+                                            frac=1.25)
+    rig = stereo_rig()
+    frames = []
+    for c in range(2):
+        R_bc = np.asarray(rig.R_cb[c]).T
+        c_b = -np.asarray(rig.R_cb[c]).T @ np.asarray(rig.t_cb[c])
+        frames.append(synthetic.render_sequence(
+            world, cameras.PINHOLE, PIN, R_wb @ R_bc,
+            t_wb + np.einsum("tij,j->ti", R_wb, c_b), W, H))
+    frames = np.stack(frames, axis=1)
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT, rate_mult=10)
+
+    cfg = streaming_vi.VIStreamConfig(
+        img_w=W, img_h=H, n_cams=2, stereo_pairs=((0, 1),),
+        orb=extractor.OrbConfig(n_features=256, n_levels=3),
+        max_kf=64, max_mp=8192, traj_cap=128, imu_per_frame=16,
+        ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.25,
+        temporal_refs=1, imu_freq=200.0)
+    tracker = streaming_vi.StreamingVITracker(
+        stereo_rig(), cfg, seed=0,
+        device_lc=dict(sub=4, score_min=30, temporal=2))
+    drive(tracker, frames, imu)
+
+    snap = tracker.snapshot()
+    assert int(snap["n_loops"]) >= 1, "device LC never fired"
+    t_est, _, p_est = tracker.get_trajectory()
+    ok = snap["ok"][:len(t_est)]
+    t_gt = np.arange(n_frames) * DT
+    res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
+                              with_scale=True)
+    # 47 m path: the SAME stream without LC measures 2.65 m noscale ATE
+    # (drift + 16% scale error); the verified correction must cut it
+    # roughly in half. (Absolute bound, not a paired run, to keep the
+    # test's runtime at one stream.)
+    assert res["rmse_noscale"] < 1.8, res

@@ -8,6 +8,9 @@ from openmavis_tpu.io import synthetic, trajectory
 from openmavis_tpu.geometry import cameras
 from openmavis_tpu.pipeline.system import Sensor, System
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 W, H = 384, 288
 
 

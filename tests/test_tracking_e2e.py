@@ -17,6 +17,9 @@ from openmavis_tpu.io import evaluation, synthetic
 from openmavis_tpu.optim.reprojection import RigParams
 from openmavis_tpu.pipeline import tracking
 
+# heavyweight (compile-dominated) — excluded from the fast tier
+pytestmark = __import__('pytest').mark.slow
+
 W, H = 512, 384
 PIN = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
 
@@ -61,3 +64,34 @@ class TestMonoE2E:
                                   with_scale=True)
         # trajectory length ~4 m; require ATE under 5% of it
         assert res["rmse"] < 0.20, res
+
+
+@pytest.mark.slow
+def test_mono_tracking_under_photometric_degradation():
+    """Tracking must survive realistic camera artifacts: per-pixel noise,
+    exposure drift, vignetting (synthetic.degrade). The clean-render ATE
+    budget is relaxed 2x — robustness, not precision, is under test."""
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    n_frames = 40
+    R_wc, t_wc = synthetic.orbit_trajectory(n_frames, radius=6.0,
+                                            frac=0.2)
+    frames = synthetic.render_sequence(world, cameras.PINHOLE, PIN,
+                                       R_wc, t_wc, W, H)
+    frames = synthetic.degrade(frames, noise_sigma=4.0,
+                               exposure_drift=0.2, vignette=0.35)
+
+    cfg = tracking.TrackerConfig(
+        img_w=W, img_h=H,
+        orb=extractor.OrbConfig(n_features=512, n_levels=4),
+        max_kf=32, max_mp=4096)
+    tracker = tracking.Tracker(mono_rig(), cfg, seed=0)
+    n_ok = 0
+    for i, img in enumerate(frames):
+        n_ok += bool(tracker.process_frame(jnp.asarray(img),
+                                           time=i / 20.0))
+    assert tracker.state == tracker.OK
+    assert n_ok > n_frames - 8, n_ok
+    t_est, _, p_est = tracker.get_trajectory()
+    t_gt = np.arange(n_frames) / 20.0
+    res = evaluation.ate_rmse(t_est, p_est, t_gt, t_wc, with_scale=True)
+    assert res["rmse"] < 0.40, res
