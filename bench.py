@@ -28,7 +28,7 @@ import numpy as np
 
 W, H = 640, 480
 FPS_IN = 20.0
-N_FRAMES = 100     # 1.25 orbits: the trajectory self-intersects so the
+N_FRAMES = 160     # 1.25 orbits: the trajectory self-intersects so the
                    # device-side loop closer must fire inside the timed pass
 BASELINE_M = 0.2
 
@@ -105,9 +105,15 @@ def main():
     cfg = streaming_vi.VIStreamConfig(
         img_w=W, img_h=H, n_cams=4, stereo_pairs=((0, 1),),
         orb=orb, imu_freq=400.0, imu_per_frame=32,
-        max_kf=64, max_mp=16384, traj_cap=128,
+        max_kf=64, max_mp=16384, traj_cap=192,
         ba_window=8, imu_init_kfs=6, kf_max_interval_s=0.25,
-        temporal_refs=2)
+        temporal_refs=2,
+        # local-map tracking (reference: TrackLocalMap's covisible window,
+        # src/Tracking.cc:3396): matching against the WHOLE map would hide
+        # drift by continuously re-binding revisited landmarks — realistic
+        # at production map sizes the tracker matches a recent window and
+        # the loop closer owns the revisit
+        local_map_window=10)
     noise = pre_mod.ImuNoise.from_sigmas(1.71e-4, 8.6e-3, 3.1e-6,
                                          2.2e-4, 400.0)
 
@@ -133,7 +139,7 @@ def main():
         # src/LoopClosing.cc:98), not drift-only odometry
         tr = streaming_vi.StreamingVITracker(
             rig, cfg, noise, seed=0,
-            device_lc=dict(sub=8, score_min=40, temporal=2))
+            device_lc=dict(sub=8, score_min=30, temporal=2))
         for i in range(N_FRAMES):
             t, b = frame_imu[i]
             tr.push(frames[i], t, b)

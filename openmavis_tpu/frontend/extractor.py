@@ -62,8 +62,8 @@ class OrbConfig:
         return [int(b) for b in budget]
 
 
-def _extract_level(img, budget, cfg: OrbConfig):
-    """One pyramid level -> fixed-capacity keypoints + descriptors."""
+def _detect_level(img, budget, cfg: OrbConfig):
+    """One pyramid level -> fixed-capacity keypoints (level-local coords)."""
     xy, score, valid = fast.detect(
         img, cfg.th_high, cfg.th_low, cell=cfg.cell,
         topk_per_cell=cfg.topk_per_cell, border=cfg.border)
@@ -80,42 +80,59 @@ def _extract_level(img, budget, cfg: OrbConfig):
             [top_idx, jnp.zeros((pad,), top_idx.dtype)])
     kp = xy[top_idx]                      # [budget, 2]
     kp_valid = top_scores > 0
-
-    angles = orb.keypoint_angles(img, kp)
-    img_b = pyramid.blur(img)
-    desc = orb.describe(img_b, kp, angles)
-    desc = jnp.where(kp_valid[:, None], desc, 0)
-    return kp, top_scores, angles, desc, kp_valid
+    return kp, top_scores, kp_valid
 
 
 def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
-    """[H, W] float32 image -> Features with capacity cfg.n_features."""
+    """[H, W] float32 image -> Features with capacity cfg.n_features.
+
+    Detection/selection runs per level (shapes differ), but orientation
+    and description run ONCE over a padded pyramid stack: the per-level
+    formulation issued 2 small gathers per (camera, level) — 64
+    latency-bound dispatches at the flagship 4-cam x 8-level budget.
+    """
     levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale)
     budgets = cfg.per_level_budget()
+    h0, w0 = img.shape
 
-    all_xy, all_resp, all_ang, all_lv, all_s2, all_desc, all_valid = \
-        [], [], [], [], [], [], []
+    kp_l, resp_l, lv_l, s2_l, valid_l, used_levels = [], [], [], [], [], []
     for lv, (img_l, budget) in enumerate(zip(levels, budgets)):
         if budget == 0:
             continue
-        kp, score, ang, desc, val = _extract_level(img_l, budget, cfg)
+        kp, score, val = _detect_level(img_l, budget, cfg)
         s = cfg.scale ** lv
-        all_xy.append(kp * s)             # rescale to level-0 coords
-        all_resp.append(score)
-        all_ang.append(ang)
-        all_lv.append(jnp.full((budget,), lv, dtype=jnp.int32))
-        all_s2.append(jnp.full((budget,), s * s, dtype=jnp.float32))
-        all_desc.append(desc)
-        all_valid.append(val)
+        kp_l.append(kp)                   # LEVEL-local coords
+        resp_l.append(score)
+        lv_l.append(jnp.full((budget,), len(used_levels),
+                             dtype=jnp.int32))
+        s2_l.append(jnp.full((budget,), s * s, dtype=jnp.float32))
+        valid_l.append(val)
+        used_levels.append((lv, img_l))
 
+    kp = jnp.concatenate(kp_l, axis=0)
+    lvid = jnp.concatenate(lv_l, axis=0)
+    valid = jnp.concatenate(valid_l, axis=0)
+
+    # padded stack (edge replicate: pattern samples within `border` of a
+    # small level's true edge must not read zeros)
+    stack = jnp.stack([
+        jnp.pad(im, ((0, h0 - im.shape[0]), (0, w0 - im.shape[1])),
+                mode="edge") for _, im in used_levels])
+    angles = orb.keypoint_angles_stacked(stack, lvid, kp)
+    desc = orb.describe_stacked(pyramid.blur(stack), lvid, kp, angles)
+    desc = jnp.where(valid[:, None], desc, 0)
+
+    scale_of = jnp.asarray([cfg.scale ** lv for lv, _ in used_levels],
+                           jnp.float32)
+    lv_of = jnp.asarray([lv for lv, _ in used_levels], jnp.int32)
     return Features(
-        xy=jnp.concatenate(all_xy, axis=0),
-        response=jnp.concatenate(all_resp, axis=0),
-        angle=jnp.concatenate(all_ang, axis=0),
-        level=jnp.concatenate(all_lv, axis=0),
-        sigma2=jnp.concatenate(all_s2, axis=0),
-        desc=jnp.concatenate(all_desc, axis=0),
-        valid=jnp.concatenate(all_valid, axis=0),
+        xy=kp * scale_of[lvid][:, None],   # rescale to level-0 coords
+        response=jnp.concatenate(resp_l, axis=0),
+        angle=angles,
+        level=lv_of[lvid],
+        sigma2=jnp.concatenate(s2_l, axis=0),
+        desc=desc,
+        valid=valid,
     )
 
 

@@ -159,3 +159,55 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
     bits = (packed[:, :, None] >> shifts[None, None]) & jnp.uint32(1)
     return bits.reshape(k, 256).astype(jnp.int8)
+
+
+def keypoint_angles_stacked(stack: jnp.ndarray, lv: jnp.ndarray,
+                            xy: jnp.ndarray,
+                            radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """IC angles for keypoints spread across a PADDED pyramid stack.
+
+    stack: [L, H0, W0] (each level edge-padded to the level-0 shape);
+    lv: [K] level index per keypoint; xy: [K, 2] LEVEL-local coords.
+
+    One gather for all levels: the per-level variant launches a separate
+    small gather per (camera, level) — 64 latency-bound dispatches at the
+    flagship budget; this folds them into one.
+    """
+    L, h, w = stack.shape
+    wx, wy, off = _moment_weights(radius)
+    wx, wy = jnp.asarray(wx), jnp.asarray(wy)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+    py = jnp.clip(yi[:, None] + off[None, :, 0], 0, h - 1)   # [K, P]
+    px = jnp.clip(xi[:, None] + off[None, :, 1], 0, w - 1)
+    base = (lv * (h * w))[:, None]
+    patch = jnp.take(stack.reshape(-1), base + py * w + px)
+    return jnp.arctan2(patch @ wy, patch @ wx)
+
+
+def describe_stacked(stack_blur: jnp.ndarray, lv: jnp.ndarray,
+                     xy: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF over a padded blurred pyramid stack (see
+    keypoint_angles_stacked). Bilinear sampling, matching `describe`."""
+    L, h, w = stack_blur.shape
+    pat = jnp.asarray(_PATTERN)
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    px_, py_ = pat[..., 0], pat[..., 1]
+    rx = c[:, None, None] * px_[None] - s[:, None, None] * py_[None]
+    ry = s[:, None, None] * px_[None] + c[:, None, None] * py_[None]
+    sx = jnp.clip(xy[:, None, None, 0] + rx, 0.0, w - 1.001)
+    sy = jnp.clip(xy[:, None, None, 1] + ry, 0.0, h - 1.001)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - x0
+    fy = sy - y0
+    base = (lv * (h * w))[:, None, None]
+    idx = base + y0 * w + x0
+    flat = stack_blur.reshape(-1)
+    v00 = jnp.take(flat, idx)
+    v01 = jnp.take(flat, idx + 1)
+    v10 = jnp.take(flat, idx + w)
+    v11 = jnp.take(flat, idx + w + 1)
+    vals = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)

@@ -142,14 +142,17 @@ def degrade(frames: np.ndarray, noise_sigma: float = 3.0,
 
 
 def orbit_trajectory(n_frames: int, radius: float = 6.0,
-                     frac: float = 0.35, height: float = 0.0):
+                     frac: float = 0.35, height: float = 0.0,
+                     start: float = 0.0):
     """Camera orbit segment looking at the world center.
 
+    `start` offsets the segment along the orbit (fraction of a full turn)
+    — overlapping segments make multi-session merge scenarios.
     Returns (R_wc [T,3,3], t_wc [T,3]) world-from-camera poses.
     """
     Rs, ts = [], []
     for i in range(n_frames):
-        ang = 2 * np.pi * frac * i / max(n_frames - 1, 1)
+        ang = 2 * np.pi * (start + frac * i / max(n_frames - 1, 1))
         c = np.array([radius * np.sin(ang), height,
                       7.0 - radius * np.cos(ang)], np.float32)
         # look at world center (0, 0, 7)

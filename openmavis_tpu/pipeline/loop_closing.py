@@ -360,10 +360,17 @@ class LoopCloser:
             m, jnp.asarray(slot), jnp.asarray(cand))
         if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
             return None
-        res = sim3_mod.ransac_sim3(
-            self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
-            fix_scale=self.inertial,
-            min_inliers=cfg.min_sim3_inliers)
+        if self.rig is not None:
+            # reprojection-gated (Sim3Solver::CheckInliers semantics)
+            res = sim3_mod.ransac_sim3_reproj(
+                self._next_key(), pairs, self.rig.kind, self.rig,
+                fix_scale=self.inertial,
+                min_inliers=cfg.min_sim3_inliers)
+        else:
+            res = sim3_mod.ransac_sim3(
+                self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
+                fix_scale=self.inertial,
+                min_inliers=cfg.min_sim3_inliers)
         if not bool(res.success):
             return None
         ref = self._verify_sim3(pairs, res)
@@ -570,10 +577,16 @@ class LoopCloser:
                     m_cur, jnp.asarray(slot), m_old, jnp.asarray(cand))
                 if int(pairs.valid.sum()) < cfg.min_sim3_inliers:
                     continue
-                res = sim3_mod.ransac_sim3(
-                    self._next_key(), pairs.p_a, pairs.p_b, pairs.valid,
-                    fix_scale=self.inertial,
-                    min_inliers=cfg.min_sim3_inliers)
+                if self.rig is not None:
+                    res = sim3_mod.ransac_sim3_reproj(
+                        self._next_key(), pairs, self.rig.kind,
+                        self.rig, fix_scale=self.inertial,
+                        min_inliers=cfg.min_sim3_inliers)
+                else:
+                    res = sim3_mod.ransac_sim3(
+                        self._next_key(), pairs.p_a, pairs.p_b,
+                        pairs.valid, fix_scale=self.inertial,
+                        min_inliers=cfg.min_sim3_inliers)
                 if not bool(res.success):
                     continue
                 ref = self._verify_sim3(pairs, res)

@@ -136,8 +136,10 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
         pairs = lc_mod._pairs_from_tables(
             lc_mod._tables(m), lc_mod._tables(m), slot, cand)
         n_pairs = jnp.sum(pairs.valid.astype(jnp.int32))
-        res = sim3_mod.ransac_sim3(
-            key, pairs.p_a, pairs.p_b, pairs.valid,
+        # reprojection-gated RANSAC (Sim3Solver::CheckInliers semantics):
+        # robust to drift-distorted local geometry, unlike a 3D gate
+        res = sim3_mod.ransac_sim3_reproj(
+            key, pairs, rig_kind, rig,
             fix_scale=inertial, min_inliers=min_pairs)
         cam_a = jnp.clip(pairs.cam_a, 0, rig.params.shape[0] - 1)
         cam_b = jnp.clip(pairs.cam_b, 0, rig.params.shape[0] - 1)

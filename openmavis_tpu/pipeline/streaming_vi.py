@@ -392,7 +392,13 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
             m, _ = mt.temporal_spawn_multi(m, slot, refs, rig_kind, C,
                                            rig, cfg.new_mp_cap,
                                            n_refs=cfg.temporal_refs)
-        m = mt.bind_landmarks_multi(m, slot, rig_kind, C, rig, W, H)
+        # binding honors the same local-map window as tracking: without
+        # it, revisited landmarks re-bind globally and silently close
+        # loops the loop closer should own (reference: SearchInNeighbors
+        # fuses within the covisible neighborhood only,
+        # src/LocalMapping.cc:786)
+        m = mt.bind_landmarks_multi(m, slot, rig_kind, C, rig, W, H,
+                                    min_last_kf=min_last_of(c))
         m = trk.fuse_new_landmarks(m, slot, cap=cfg.new_mp_cap)
         m = trk.cull_landmarks(m, slot)
         m, culled = trk.cull_keyframes(m, slot)

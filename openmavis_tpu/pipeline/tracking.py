@@ -398,7 +398,10 @@ def relocalize_step(m: ms.MapState, feats: extractor.Features, key,
         mp = jnp.where(matched, m.kf_obs[kf][safe], 0)
         valid = matched & m.mp_valid[mp]
         p_w = m.mp_pos[mp]
-        return pnp_mod.ransac_pnp(k, p_w, bearing_b, valid, min_inliers=15)
+        # ML weighting: per-keypoint pyramid-level variance whitens the
+        # bearing constraints (reference: MLPnPsolver's covariance input)
+        return pnp_mod.ransac_pnp(k, p_w, bearing_b, valid,
+                                  min_inliers=15, sigma2=feats.sigma2)
 
     res = jax.vmap(per_cand)(kf_cand, jax.random.split(key, N_CAND))
     b = jnp.argmax(res.n_inliers)

@@ -97,7 +97,8 @@ def _gate(R, t, p_w, bearing, valid, cos_th):
 def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
                valid: jnp.ndarray, n_hyp: int = 512,
                sample_size: int = 6, cos_th: float = 0.9998,
-               min_inliers: int = 12, lo_rounds: int = 2) -> PnPResult:
+               min_inliers: int = 12, lo_rounds: int = 2,
+               sigma2=None) -> PnPResult:
     """LO-RANSAC resection from 3D-point <-> bearing matches.
 
     Args:
@@ -108,7 +109,25 @@ def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
         by a weighted DLT over ALL its inliers and re-gated, which rescues
         minimal samples that are near-degenerate (clustered scenes) and
         makes success nearly key-independent.
+      sigma2: optional [N] per-observation variance (keypoint pyramid-
+        level sigma^2). Enables the MAXIMUM-LIKELIHOOD weighting of the
+        reference's MLPnPsolver (src/MLPnPsolver.cpp: bearing residuals
+        whitened by per-point covariance): the LO refit weights each
+        point's constraint rows by 1/sigma, and the inlier gate widens
+        with sigma (coarse-level keypoints carry proportionally larger
+        angular noise).
     """
+    if sigma2 is not None:
+        sig = jnp.sqrt(jnp.maximum(sigma2, 1e-9))
+        # per-point angular gate: theta_i = theta_0 * sigma_i (capped —
+        # coarse levels are noisier, not unbounded)
+        import numpy as _np
+        th0 = float(_np.arccos(min(cos_th, 1.0)))
+        cos_th = jnp.cos(th0 * jnp.clip(sig, 1.0, 4.0))
+        ml_w = 1.0 / sig
+    else:
+        ml_w = None
+
     logits = jnp.where(valid, 0.0, -1e9)
     idx = jax.random.categorical(key, logits[None, None, :],
                                  shape=(n_hyp, sample_size))
@@ -124,9 +143,13 @@ def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
 
     for _ in range(lo_rounds):
         w = inl_b.astype(p_w.dtype)
+        if ml_w is not None:
+            w = w * ml_w
         R_r, t_r = _dlt_pose(p_w, bearing, w=w)
         inl_r, n_r = _gate(R_r, t_r, p_w, bearing, valid, cos_th)
-        take = n_r > n_b
+        # >=: at equal support the all-inlier (whitened) refit dominates
+        # a 6-point minimal sample
+        take = n_r >= n_b
         R_b = jnp.where(take, R_r, R_b)
         t_b = jnp.where(take, t_r, t_b)
         inl_b = jnp.where(take, inl_r, inl_b)

@@ -119,3 +119,84 @@ def ransac_sim3(key, p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
     return Sim3Result(success=n_inl[best] >= min_inliers,
                       s=s_f, R=R_f, t=t_f, inlier=inl[best],
                       n_inliers=n_inl[best])
+
+
+def ransac_sim3_reproj(key, pairs, rig_kind: int, rig,
+                       fix_scale: bool = False, n_hyp: int = 128,
+                       chi2_th: float = 9.21,
+                       min_inliers: int = 20) -> Sim3Result:
+    """Sim3 RANSAC with the reference's REPROJECTION inlier test.
+
+    The 3D-distance gate of `ransac_sim3` collapses once the two keyframes'
+    local maps carry real drift (internally distorted geometry): measured
+    2-3 inliers of 20+ true correspondences on drifted loops. The
+    reference gates by mutual reprojection instead (Sim3Solver::
+    CheckInliers, src/Sim3Solver.cc: project the mapped points through
+    BOTH cameras and chi2-test the pixel errors), which only requires the
+    hypothesis to explain the IMAGES, not two noisy 3D clouds.
+
+    pairs: loop_closing.MatchedPairs (body-frame points, image
+    observations, per-point sigma2, camera bands of both keyframes).
+    Returns Sim3Result with the Sim3 body(a) -> body(b).
+    """
+    from ..geometry import cameras
+
+    p1, p2, valid = pairs.p_a, pairs.p_b, pairs.valid
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(key, logits[None, None, :],
+                                 shape=(n_hyp, 3))
+    s, R, t = horn_sim3(p1[idx], p2[idx], fix_scale=fix_scale)
+
+    C = rig.params.shape[0]
+    cam_a = jnp.clip(pairs.cam_a, 0, C - 1)
+    cam_b = jnp.clip(pairs.cam_b, 0, C - 1)
+
+    def reproj_chi2(s, R, t):
+        """[S] hypotheses -> [S, N] mutual reprojection chi2."""
+        # a -> b: project s R p1 + t into b's camera band
+        pb = (s[:, None, None]
+              * jnp.einsum("sij,nj->sni", R, p1) + t[:, None, :])
+        pcb = (jnp.einsum("nij,snj->sni", rig.R_cb[cam_b], pb)
+               + rig.t_cb[cam_b][None])
+        uvb = cameras.project(rig_kind, rig.params[cam_b][None], pcb)
+        e_b = jnp.sum((uvb - pairs.uv_b[None]) ** 2, axis=-1) \
+            / pairs.sigma2_b[None]
+        ok_b = pcb[..., 2] > 0.05
+        # b -> a: inverse hypothesis into a's camera band
+        pa = jnp.einsum("sji,snj->sni", R,
+                        p2[None] - t[:, None, :]) / s[:, None, None]
+        pca = (jnp.einsum("nij,snj->sni", rig.R_cb[cam_a], pa)
+               + rig.t_cb[cam_a][None])
+        uva = cameras.project(rig_kind, rig.params[cam_a][None], pca)
+        e_a = jnp.sum((uva - pairs.uv_a[None]) ** 2, axis=-1) \
+            / pairs.sigma2_a[None]
+        ok_a = pca[..., 2] > 0.05
+        chi = jnp.maximum(e_a, e_b)
+        return jnp.where(ok_a & ok_b, chi, jnp.inf)
+
+    chi = reproj_chi2(s, R, t)
+    inl = (chi < chi2_th) & valid[None, :]
+    bad = (jnp.any(~valid[idx], axis=-1) | (s < 0.1) | (s > 10.0)
+           | ~jnp.isfinite(s))
+    n_inl = jnp.where(bad, 0, jnp.sum(inl.astype(jnp.int32), axis=1))
+    best = jnp.argmax(n_inl)
+
+    # weighted full-set Horn refit on the winner's inliers
+    w = inl[best].astype(p1.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(w), 3.0)
+    c1 = jnp.sum(p1 * w, axis=0) / cnt
+    c2 = jnp.sum(p2 * w, axis=0) / cnt
+    s_r, R_r, t_r = horn_sim3((p1 - c1) * w + c1, (p2 - c2) * w + c2,
+                              fix_scale=fix_scale)
+    chi_r = reproj_chi2(s_r[None], R_r[None], t_r[None])[0]
+    inl_r = (chi_r < chi2_th) & valid
+    n_r = jnp.sum(inl_r.astype(jnp.int32))
+    take = (n_r >= n_inl[best]) & jnp.isfinite(s_r) \
+        & (s_r > 0.1) & (s_r < 10.0)
+    s_f = jnp.where(take, s_r, s[best])
+    R_f = jnp.where(take, R_r, R[best])
+    t_f = jnp.where(take, t_r, t[best])
+    inl_f = jnp.where(take, inl_r, inl[best])
+    n_f = jnp.where(take, n_r, n_inl[best])
+    return Sim3Result(success=n_f >= min_inliers, s=s_f, R=R_f, t=t_f,
+                      inlier=inl_f, n_inliers=n_f)

@@ -203,3 +203,48 @@ class TestHomographyBranch:
         assert np.linalg.norm(np.asarray(res.R) - R) < 0.05
         assert abs(float(jnp.dot(res.t, jnp.asarray(t, jnp.float32)))) \
             > 0.99
+
+
+def test_pnp_ml_weighting_downweights_coarse_levels():
+    """MLPnP semantics (reference: src/MLPnPsolver.cpp): per-point
+    covariance whitening. Half the observations carry 8x the angular
+    noise (coarse pyramid levels); the sigma2-weighted solve must beat
+    the unweighted one on rotation error."""
+    import numpy as np
+    from openmavis_tpu.solvers import pnp as pnp_mod
+    from openmavis_tpu.geometry import lie
+
+    rng = np.random.RandomState(0)
+    N = 96
+    p_w = rng.uniform(-3, 3, (N, 3)) + np.array([0, 0, 8.0])
+    R_true = np.asarray(lie.so3_exp(jnp.asarray([0.1, -0.2, 0.05])))
+    t_true = np.array([0.3, -0.1, 0.2])
+    b = (p_w @ R_true.T) + t_true
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    # noise: fine levels sigma=1, coarse levels sigma=8 (angular)
+    sigma = np.where(np.arange(N) % 2 == 0, 1.0, 8.0)
+    noise = rng.normal(0, 1, (N, 3)) * (0.002 * sigma)[:, None]
+    b_noisy = b + noise
+    b_noisy /= np.linalg.norm(b_noisy, axis=-1, keepdims=True)
+    valid = jnp.ones((N,), bool)
+    key = jax.random.PRNGKey(0)
+
+    def rot_err(R_est):
+        c = (np.trace(np.asarray(R_est) @ R_true.T) - 1) / 2
+        return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+    errs_u, errs_w = [], []
+    for s in range(4):
+        k = jax.random.PRNGKey(s)
+        ru = pnp_mod.ransac_pnp(k, jnp.asarray(p_w, jnp.float32),
+                                jnp.asarray(b_noisy, jnp.float32),
+                                valid, cos_th=0.9995)
+        rw = pnp_mod.ransac_pnp(k, jnp.asarray(p_w, jnp.float32),
+                                jnp.asarray(b_noisy, jnp.float32),
+                                valid, cos_th=0.9995,
+                                sigma2=jnp.asarray(sigma ** 2,
+                                                   jnp.float32))
+        assert bool(ru.success) and bool(rw.success)
+        errs_u.append(rot_err(ru.R_cw))
+        errs_w.append(rot_err(rw.R_cw))
+    assert np.mean(errs_w) <= np.mean(errs_u) + 1e-6, (errs_u, errs_w)

@@ -150,7 +150,7 @@ def test_device_lc_closes_loop():
 
     cfg = streaming_vi.VIStreamConfig(
         img_w=W, img_h=H, n_cams=2, stereo_pairs=((0, 1),),
-        orb=extractor.OrbConfig(n_features=256, n_levels=3),
+        orb=extractor.OrbConfig(n_features=384, n_levels=3),
         max_kf=64, max_mp=8192, traj_cap=128, imu_per_frame=16,
         ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.25,
         temporal_refs=1, imu_freq=200.0)
