@@ -53,3 +53,51 @@ def load_map(path: str, cfg_dict: dict | None = None,
                     f"({header['config_hash']} != {h})")
         return ms.MapState(**{f: jnp.asarray(data[f])
                               for f in header["fields"]})
+
+
+def save_atlas(path: str, atlas, cfg_dict: dict | None = None):
+    """Whole-Atlas checkpoint: every map + the current-map index
+    (reference: System::SaveAtlas serializes the full Atlas,
+    src/System.cc:1420-1458). One npz; map i's field f is stored as
+    `m{i}__{f}`."""
+    arrays = {}
+    for i, m in enumerate(atlas.maps):
+        for f in m._fields:
+            arrays[f"m{i}__{f}"] = np.asarray(getattr(m, f))
+    header = json.dumps({
+        "format": FORMAT_VERSION,
+        "config_hash": config_hash(cfg_dict or {}),
+        "kind": "atlas",
+        "n_maps": len(atlas.maps),
+        "current": atlas.current,
+        "fields": list(atlas.maps[0]._fields) if atlas.maps else [],
+    })
+    np.savez_compressed(path, __header__=np.frombuffer(
+        header.encode(), dtype=np.uint8), **arrays)
+
+
+def load_atlas(path: str, cfg_dict: dict | None = None,
+               strict: bool = True):
+    """Load a whole-Atlas checkpoint; returns (maps list, current idx)."""
+    with np.load(path) as data:
+        header = json.loads(bytes(data["__header__"]).decode())
+        if header["format"] != FORMAT_VERSION:
+            raise ValueError(f"checkpoint format {header['format']} != "
+                             f"{FORMAT_VERSION}")
+        if strict and cfg_dict is not None:
+            h = config_hash(cfg_dict)
+            if h != header["config_hash"]:
+                raise ValueError(
+                    "checkpoint was written with a different "
+                    f"configuration ({header['config_hash']} != {h})")
+        if header.get("kind") != "atlas":
+            # single-map checkpoint: wrap as a 1-map atlas
+            m = ms.MapState(**{f: jnp.asarray(data[f])
+                               for f in header["fields"]})
+            return [m], 0
+        maps = []
+        for i in range(header["n_maps"]):
+            maps.append(ms.MapState(**{
+                f: jnp.asarray(data[f"m{i}__{f}"])
+                for f in header["fields"]}))
+        return maps, header["current"]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..geometry import lie
 from . import inertial as inertial_mod
+from . import lm as lm_mod
 from . import robust
 from .reprojection import RigParams, mono_residual, mono_residual_jac
 
@@ -79,7 +80,7 @@ def _schur_solve(Hpp, Hpl, Hll, gp, gl, lam, fixed, D):
     # damp landmark blocks and invert (batched 3x3)
     dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
     Hll_d = Hll + jax.vmap(jnp.diag)(lam * jnp.maximum(dll, 1e-9) + 1e-9)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = lm_mod.inv3x3(Hll_d)
 
     A = Hpl.transpose(0, 1, 2, 3).reshape(K * D, M, 3)
     Y = jnp.einsum("amj,mjk->amk", A, Hll_inv)           # [K*D, M, 3]

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from . import inertial as inertial_mod
+from . import lm as lm_mod
 from . import robust
 from .ba import BAState, BAObservations, InertialEdges, _retract
 from .reprojection import RigParams, mono_residual_jac
@@ -146,7 +147,7 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
             eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (M, 3, 3))
             Hll_d = jnp.where(point_fixed[:, None, None], eye, Hll_d)
             gl = jnp.where(point_fixed[:, None], 0.0, gl)
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = lm_mod.inv3x3(Hll_d)
 
         # pose diagonal blocks (visual part) for the preconditioner
         Hpp_blk = jnp.zeros((K, 6, 6), r.dtype).at[obs.kf].add(

@@ -66,7 +66,7 @@ def initial_gravity_velocity(R, p, pre, edge_valid):
 def inertial_optimization(R, p, v0, pre, edge_valid,
                           fix_scale: bool = False,
                           prior_g: float = 1e2, prior_a: float = 1e6,
-                          iters: int = 60,
+                          iters: int = 30,
                           R_wg0=None, bias0=None,
                           fix_bias: bool = False) -> InertialInitResult:
     """Solve (scale, gravity dir, shared bias, velocities), poses fixed.
@@ -102,6 +102,10 @@ def inertial_optimization(R, p, v0, pre, edge_valid,
         v = x[9:].reshape(K, 3)
         return s, R_wg, bg, ba, v
 
+    # whitening factor hoisted: cholesky(info9) is x-independent, and the
+    # old in-closure placement recomputed it inside every jacfwd tangent
+    L_white = jnp.linalg.cholesky(info9)
+
     def residuals(x):
         s, R_wg, bg, ba, v = unpack(x)
         g = R_wg @ g0
@@ -121,25 +125,24 @@ def inertial_optimization(R, p, v0, pre, edge_valid,
         r = jnp.concatenate([er, ev, ep], axis=-1)       # [E,9]
         w = edge_valid.astype(r.dtype)
         # whiten by the info cholesky so GN sees unit-covariance residuals
-        L = jnp.linalg.cholesky(info9)
-        rw = jnp.einsum("eab,eb->ea", jnp.swapaxes(L, -1, -2), r)
+        rw = jnp.einsum("eab,eb->ea", jnp.swapaxes(L_white, -1, -2), r)
         rw = rw * w[:, None]
         # bias priors
         r_pg = jnp.sqrt(prior_g) * bg
         r_pa = jnp.sqrt(prior_a) * ba
         return jnp.concatenate([rw.reshape(-1), r_pg, r_pa])
 
+    def res_jac(x):
+        return residuals(x), jax.jacfwd(residuals)(x)
+
     x0 = jnp.zeros((n_params,))
     x0 = x0.at[9:].set(v0.reshape(-1))
-
-    def chi2(x):
-        r = residuals(x)
-        return jnp.sum(r * r)
+    r0, J0 = res_jac(x0)
 
     def body(carry):
-        x, lam, chi, it = carry
-        r = residuals(x)
-        J = jax.jacfwd(residuals)(x)
+        # one residual+Jacobian evaluation per iteration: the candidate's
+        # (r, J) become the next iteration's on acceptance
+        x, r, J, lam, chi, it = carry
         H = J.T @ J
         g_ = J.T @ r
         d = jnp.diagonal(H)
@@ -147,16 +150,20 @@ def inertial_optimization(R, p, v0, pre, edge_valid,
         dx = jnp.linalg.solve(Hd, -g_)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         x_new = x + dx
-        chi_new = chi2(x_new)
+        r_new, J_new = res_jac(x_new)
+        chi_new = jnp.sum(r_new * r_new)
         accept = chi_new < chi
         x = jnp.where(accept, x_new, x)
+        r = jnp.where(accept, r_new, r)
+        J = jnp.where(accept, J_new, J)
         chi = jnp.where(accept, chi_new, chi)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
-        return x, lam, chi, it + 1
+        return x, r, J, lam, chi, it + 1
 
-    x, _, chi, _ = jax.lax.while_loop(
-        lambda c: c[3] < iters, body,
-        (x0, jnp.asarray(1e-2), chi2(x0), jnp.asarray(0)))
+    x, _, _, _, chi, _ = jax.lax.while_loop(
+        lambda c: c[5] < iters, body,
+        (x0, r0, J0, jnp.asarray(1e-2), jnp.sum(r0 * r0),
+         jnp.asarray(0)))
     s, R_wg, bg, ba, v = unpack(x)
     return InertialInitResult(scale=s, R_wg=R_wg, bg=bg, ba=ba, v=v,
                               chi2=chi)

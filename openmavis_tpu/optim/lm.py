@@ -75,3 +75,32 @@ def lm_optimize(assemble: Callable, retract: Callable, chi2_fn: Callable,
         cond, body, (x0, H0, g0, jnp.asarray(lambda0, jnp.float32), chi0,
                      jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
     return x, chi, n_acc
+
+
+def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    `jnp.linalg.inv` on [..., 3, 3] lowers to batched LU with pivoting —
+    measured as a dominant cost of Schur preparation at Atlas scale
+    (M=16k landmark blocks); the adjugate form is ~10 fused VPU ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps,
+                              jnp.where(det < 0, -eps, eps), det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]

@@ -540,14 +540,16 @@ def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
         M = m.mp_pos.shape[0]
         observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
         # sequential-depth budget: each LM iteration costs cg_iters
-        # latency-bound CG matvecs; (6,8)x32 = 448 sequential steps made
-        # the init the hottest event in the stream (~1.5 s per trigger).
-        # (4,6)x16 converges within the staged-init tolerance — the
-        # VIBA1/VIBA2 refinement stages re-solve with better linearization
-        # anyway (reference schedule: LocalMapping.cc:224-265).
+        # latency-bound CG matvecs (~10 ms each at Atlas capacity — the
+        # scatter/gather ops of the matrix-free operator have a ~1-2 ms
+        # latency floor regardless of occupancy); (6,8)x32 = 448
+        # sequential steps made the init a ~4 s event. (3,4)x12 converges
+        # within the staged-init tolerance — the VIBA1/VIBA2 refinement
+        # stages re-solve with better linearization anyway (reference
+        # schedule: LocalMapping.cc:224-265).
         state, inlier, chi = global_ba.global_bundle_adjust(
             state0, obs, rig, fixed, point_fixed=~observed,
-            edges=edges, stages=(4, 6), cg_iters=16)
+            edges=edges, stages=(3, 4), cg_iters=12)
         good = jnp.isfinite(chi)
         upd = m.kf_valid & good
         m = m._replace(

@@ -236,12 +236,28 @@ class System:
                             np.asarray(m.kf_t[:n]))
 
     def save_atlas(self, path: str):
-        serialization.save_map(path, self.tracker.map,
-                               {"sensor": self.sensor.name})
+        """Whole-Atlas checkpoint (every map + current index; reference:
+        System::SaveAtlas, src/System.cc:1420-1458)."""
+        tr = self.tracker
+        if getattr(tr, "atlas", None) is not None:
+            tr._sync_atlas()
+            serialization.save_atlas(path, tr.atlas,
+                                     {"sensor": self.sensor.name})
+        else:
+            serialization.save_map(path, tr.map,
+                                   {"sensor": self.sensor.name})
 
     def load_atlas(self, path: str):
-        self.tracker.map = serialization.load_map(
+        tr = self.tracker
+        maps, current = serialization.load_atlas(
             path, {"sensor": self.sensor.name})
+        if getattr(tr, "atlas", None) is not None:
+            tr.atlas.maps = maps
+            tr.atlas.current = current
+            tr.map = tr.atlas.current_map
+            tr.map_id = current
+        else:
+            tr.map = maps[current]
 
     def print_time_stats(self):
         return self.timer.print_stats()

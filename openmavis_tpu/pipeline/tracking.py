@@ -630,9 +630,11 @@ def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
     state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
                         ba=m.kf_ba, points=m.mp_pos)
     fixed = (jnp.arange(K) < 1) | ~m.kf_valid
+    # sequential-depth budget (see multi_tracking.imu_init_step): the
+    # matrix-free matvec is latency-bound, so CG depth is the cost
     state, inlier, chi = global_ba.global_bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~observed, edges=edges,
-        stages=(5, 8), cg_iters=32)
+        stages=(4, 6), cg_iters=16)
     m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
                        obs.valid, with_imu=True)
     return m, chi

@@ -206,3 +206,63 @@ def test_rgbd_tum_from_disk(tmp_path):
     assert res["rmse"] < 0.25, (res, proc.stderr)
     # depth gives metric scale directly
     assert abs(res["scale"] - 1.0) < 0.12, res
+
+
+@pytest.mark.slow
+def test_stereo_inertial_euroc_from_disk(tmp_path):
+    """Stereo-inertial main (reference: Examples/Stereo-Inertial/
+    stereo_inertial_euroc.cc): rendered PNGs + a real synthetic IMU csv
+    through the CLI; the staged IMU initialization must engage."""
+    n = 44
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wb, t_wb = synthetic.orbit_trajectory(n, radius=6.0, frac=0.3)
+    times_ns = [int((i * DT) * 1e9) for i in range(n)]
+    mav = tmp_path / "seq" / "mav0"
+    centers = np.array([[-BASELINE / 2, 0, 0], [BASELINE / 2, 0, 0]],
+                       np.float32)
+    for ci, cam in enumerate(("cam0", "cam1")):
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, centers[ci])
+        frames = _render(world, R_wb, t_wc)
+        _write_euroc_cam(str(mav), cam, frames, times_ns)
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT, rate_mult=10)
+    os.makedirs(mav / "imu0", exist_ok=True)
+    with open(mav / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],wx,wy,wz,ax,ay,az\n")
+        for (w, a, t) in imu:
+            f.write(f"{int(t * 1e9)},{w[0]},{w[1]},{w[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+    gt = tmp_path / "gt.txt"
+    t_wc0 = t_wb + np.einsum("tij,j->ti", R_wb, centers[0])
+    _write_gt_tum(str(gt), [i * DT for i in range(n)], t_wc0)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    T1 = np.eye(4); T1[0, 3] = -BASELINE / 2
+    T2 = np.eye(4); T2[0, 3] = BASELINE / 2
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T1.tolist()},
+        "Camera2": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T2.tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+        "IMU": {"NoiseGyro": 1.7e-4, "NoiseAcc": 2.0e-3,
+                "GyroWalk": 1.9e-5, "AccWalk": 3.0e-3,
+                "Frequency": 200.0},
+    }))
+    proc = _run_example("stereo_inertial_euroc.py", [
+        str(tmp_path / "seq"), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    assert "imu_initialized=True" in proc.stderr, proc.stderr
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= n - 8, proc.stderr
+    t_gt = np.arange(n) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wb,
+                              with_scale=True)
+    assert res["rmse"] < 0.3, (res, proc.stderr)
+    assert abs(res["scale"] - 1.0) < 0.12, res

@@ -211,3 +211,42 @@ class TestKittiLoader:
         seq = datasets.load_tumvi(str(tmp_path / "room1"))
         assert seq.n_frames == 2
         assert seq.frame(0).shape == (1, 16, 16)
+
+
+def test_atlas_multi_map_roundtrip(tmp_path):
+    """Whole-Atlas checkpoint: N maps + current index survive a save/load
+    cycle (reference: System::SaveAtlas/LoadAtlas serialize the full
+    Atlas, src/System.cc:1420-1556)."""
+    from openmavis_tpu.io import serialization
+    from openmavis_tpu.slam_map import atlas as atlas_mod
+    from openmavis_tpu.slam_map import map_state as ms
+
+    atlas = atlas_mod.Atlas()
+    for i in range(3):
+        atlas.create_map(max_kf=4, max_feat=16, max_mp=32)
+        m = atlas.current_map
+        atlas.current_map = m._replace(
+            kf_t=m.kf_t.at[0].set(jnp.asarray([float(i), 0.0, 0.0])),
+            n_kf=jnp.asarray(i + 1, jnp.int32))
+    atlas.current = 1
+    path = str(tmp_path / "atlas.npz")
+    serialization.save_atlas(path, atlas, {"sensor": "IMU_MULTI"})
+
+    maps, current = serialization.load_atlas(path,
+                                             {"sensor": "IMU_MULTI"})
+    assert len(maps) == 3 and current == 1
+    for i, m in enumerate(maps):
+        assert int(m.n_kf) == i + 1
+        assert float(m.kf_t[0, 0]) == float(i)
+
+    # config-hash binding still enforced
+    with pytest.raises(ValueError):
+        serialization.load_atlas(path, {"sensor": "MONOCULAR"})
+
+    # a single-map checkpoint loads as a 1-map atlas (back compat)
+    mpath = str(tmp_path / "one.npz")
+    serialization.save_map(mpath, maps[2], {"sensor": "IMU_MULTI"})
+    maps1, cur1 = serialization.load_atlas(mpath,
+                                           {"sensor": "IMU_MULTI"})
+    assert len(maps1) == 1 and cur1 == 0
+    assert int(maps1[0].n_kf) == 3
