@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args()
 
-    from openmavis_tpu.io import datasets, trajectory
+    from openmavis_tpu.io import datasets
     from openmavis_tpu.io import settings as cfg_mod
     from openmavis_tpu.pipeline import system
 
@@ -62,8 +62,7 @@ def main():
 
     # KITTI-format trajectory (reference: System::SaveTrajectoryKITTI,
     # src/System.cc — 3x4 row-major pose per line, camera frame)
-    times, R, t = slam.tracker.get_trajectory()
-    trajectory.save_kitti(args.out, times, R, t)
+    slam.save_trajectory_kitti(args.out)
     print(f"replayed {n} frames in {dt:.1f}s = {n / dt:.1f} fps",
           file=sys.stderr)
     print(f"trajectory -> {args.out}", file=sys.stderr)

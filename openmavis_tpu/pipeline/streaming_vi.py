@@ -741,6 +741,43 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
     return step
 
 
+_COMBINED_CACHE: dict = {}
+
+
+def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
+                        dist, lc_key: tuple):
+    """Tracking step + device loop closing fused into ONE jitted program
+    per frame (see StreamingVITracker.__init__). Cached per
+    (cfg, rig.kind, dist?, lc params) so fresh trackers share the
+    compile."""
+    from . import streaming_lc
+
+    key_ = (cfg, rig.kind, dist is not None, lc_key)
+    cached = _COMBINED_CACHE.get(key_)
+    if cached is None:
+        inner = _make_step_inner(cfg, rig.kind, dist is not None)
+        lc_inner = streaming_lc.make_lc_step(
+            cfg, rig.kind, cfg.n_cams, inertial=cfg.use_imu,
+            img_w=float(cfg.img_w), img_h=float(cfg.img_h),
+            **dict(lc_key))
+
+        @jax.jit
+        def combined(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
+                     rig, noise, dist):
+            m, c = inner(m, c, images, time, imu_w, imu_a, imu_dt,
+                         rig, noise, dist)
+            m, c, lcc = lc_inner(m, c, lcc, rig)
+            return m, c, lcc
+
+        _COMBINED_CACHE[key_] = combined
+        cached = combined
+    if dist is None:
+        return lambda m, c, lcc, imgs, t, w, a, dts: cached(
+            m, c, lcc, imgs, t, w, a, dts, rig, noise, 0.0)
+    return lambda m, c, lcc, imgs, t, w, a, dts: cached(
+        m, c, lcc, imgs, t, w, a, dts, rig, noise, dist)
+
+
 class StreamingVITracker:
     """Host wrapper: enqueue-only per frame, fetch-once at the end.
 
@@ -782,10 +819,14 @@ class StreamingVITracker:
         if device_lc:
             from . import streaming_lc
             lc_kw = device_lc if isinstance(device_lc, dict) else {}
-            self._lc_step = streaming_lc.make_lc_step(
-                cfg, rig.kind, cfg.n_cams,
-                inertial=cfg.use_imu, img_w=float(cfg.img_w),
-                img_h=float(cfg.img_h), **lc_kw)
+            # the tracking step and the LC step are FUSED into one jitted
+            # program: every dispatch through the tunneled transport
+            # carries ~20 ms of fixed overhead, so two programs per frame
+            # cost ~20 ms/frame more than one
+            self._step = _make_combined_step(
+                self.rig, cfg, self.noise, dist, tuple(
+                    sorted(lc_kw.items())))
+            self._lc_step = True
             with dev.host_trace():
                 self.lc_carry = streaming_lc.init_lc_carry()
             self.lc_carry = dev.commit(self.lc_carry)
@@ -822,12 +863,16 @@ class StreamingVITracker:
         # the program itself dispatches to the TPU because map/carry are
         # committed there.
         with dev.host_trace():
-            self.map, self.carry = self._step(
-                self.map, self.carry, dev.commit(np.asarray(images)),
-                jnp.asarray(time, jnp.float32), w, a, dt)
             if self._lc_step is not None:
-                self.map, self.carry, self.lc_carry = self._lc_step(
-                    self.map, self.carry, self.lc_carry, self.rig)
+                self.map, self.carry, self.lc_carry = self._step(
+                    self.map, self.carry, self.lc_carry,
+                    dev.commit(np.asarray(images)),
+                    jnp.asarray(time, jnp.float32), w, a, dt)
+            else:
+                self.map, self.carry = self._step(
+                    self.map, self.carry,
+                    dev.commit(np.asarray(images)),
+                    jnp.asarray(time, jnp.float32), w, a, dt)
         self._t_prev = time
         self._snap = None
 

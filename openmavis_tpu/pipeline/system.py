@@ -228,6 +228,11 @@ class System:
         times, R, t = self.tracker.get_trajectory()
         trajectory.save_euroc(path, times, R, t)
 
+    def save_trajectory_kitti(self, path: str):
+        """(reference: System::SaveTrajectoryKITTI, src/System.cc:1240)"""
+        times, R, t = self.tracker.get_trajectory()
+        trajectory.save_kitti(path, times, R, t)
+
     def save_keyframe_trajectory_tum(self, path: str):
         m = self.tracker.map
         n = int(m.n_kf)
