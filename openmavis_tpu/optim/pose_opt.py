@@ -45,7 +45,7 @@ def _visual_terms(R, t, p_w, cam_idx, uv, sigma2, active, rig):
 
 def pose_optimization(R0, t0, p_w, cam_idx, uv, sigma2, valid,
                       rig: RigParams, rounds: int = 4,
-                      iters_per_round: int = 10,
+                      iters_per_round: int = 7,
                       chi2_th: float = robust.CHI2_2D):
     """Motion-only PO with chi2 re-gating (reference: Optimizer.cc:855).
 
@@ -117,7 +117,7 @@ def pose_inertial_optimization(
         state0: InertialState, anchor: InertialState, pre,
         p_w, cam_idx, uv, sigma2, valid, rig: RigParams,
         prior: inertial_mod.PoseImuPrior | None = None,
-        rounds: int = 4, iters_per_round: int = 10,
+        rounds: int = 4, iters_per_round: int = 7,
         chi2_th: float = robust.CHI2_2D):
     """VI motion-only optimization of the current frame's 15-dof state.
 
