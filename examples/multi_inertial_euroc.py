@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--lc-every", type=int, default=30,
                     help="host loop-closing cadence in frames (0 = off)")
+    ap.add_argument("--max-kf", type=int, default=64,
+                    help="keyframe slab capacity")
+    ap.add_argument("--max-mp", type=int, default=16384,
+                    help="landmark slab capacity")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -49,14 +53,17 @@ def main():
           f"replaying {n}", file=sys.stderr)
 
     if args.settings:
-        # keep the RAW dict: System re-parses it (and the example
-        # indexes raw Camera*/ORBextractor keys)
-        cfg = cfg_mod.load_settings(args.settings)["raw"]
-        rig = cfg["rig"]
-        noise = cfg["imu_noise"]
-        W, H = cfg["camera_width"], cfg["camera_height"]
-        orb = cfg["orb"]
-        freq = cfg["imu_frequency"]
+        # this example consumes the PARSED fields directly (unlike the
+        # System-consuming mains, which pass the raw dict through)
+        parsed = cfg_mod.load_settings(args.settings)
+        rig = parsed["rig"]
+        noise = parsed["imu_noise"]
+        W, H = parsed["camera_width"], parsed["camera_height"]
+        orb = parsed["orb"]
+        freq = parsed["imu_frequency"]
+        if noise is None:
+            noise = pre_mod.ImuNoise.from_sigmas(1.7e-4, 2e-3, 1.9e-5,
+                                                 3e-3, 200.0)
     else:
         # EuRoC stereo defaults (reference: Examples/Stereo-Inertial/
         # EuRoC.yaml); replace with --settings for other rigs
@@ -87,7 +94,7 @@ def main():
         stereo_pairs=((0, 1),) if C >= 2 else (),
         orb=orb, imu_freq=freq,
         imu_per_frame=max(32, int(2 * freq / 20)),
-        max_kf=64, max_mp=16384, traj_cap=max(n, 128))
+        max_kf=args.max_kf, max_mp=args.max_mp, traj_cap=max(n, 128))
     lc = (loop_closing.LoopCloser(
         None, vcfg.max_kf, rig=rig, inertial=True, img_w=W, img_h=H)
         if args.lc_every > 0 else None)

@@ -118,8 +118,14 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
     stack = jnp.stack([
         jnp.pad(im, ((0, h0 - im.shape[0]), (0, w0 - im.shape[1])),
                 mode="edge") for _, im in used_levels])
-    angles = orb.keypoint_angles_stacked(stack, lvid, kp)
-    desc = orb.describe_stacked(pyramid.blur(stack), lvid, kp, angles)
+    # patch-extraction formulation: one block-row gather per keypoint,
+    # then dense moment/bilinear math (see orb.extract_patches — replaces
+    # the per-tap gathers that dominated extraction time, PERF.md r3)
+    patches, _, _ = orb.extract_patches(stack, lvid, kp)
+    angles = orb.patch_angles(patches)
+    patches_b, oxb, oyb = orb.extract_patches(pyramid.blur(stack),
+                                              lvid, kp)
+    desc = orb.patch_describe(patches_b, kp, oxb, oyb, angles)
     desc = jnp.where(valid[:, None], desc, 0)
 
     scale_of = jnp.asarray([cfg.scale ** lv for lv, _ in used_levels],

@@ -10,10 +10,10 @@ This is the Pallas form of the reference's ORBmatcher inner loops
 (src/ORBmatcher.cc SearchByProjection / SearchByBoW): the grid-cell /
 BoW-node candidate structure becomes the additive penalty input.
 
-Encoding: distances (<= 256) and column indices are packed into one f32
-(dist * 2^14 + col, exact for col < 16384 and dist < 2^10 in f32's 24-bit
-mantissa), so min-reduction yields argmin with deterministic smallest-index
-tie-breaking.
+Encoding: distances and column indices are packed into one f32
+(dist * 2^15 + col, exact for col < 32768 with dist clamped to INVALID=300,
+since 300 * 2^15 + 32767 fits f32's 24-bit mantissa), so min-reduction
+yields argmin with deterministic smallest-index tie-breaking.
 """
 
 from __future__ import annotations

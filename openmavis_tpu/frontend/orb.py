@@ -161,6 +161,132 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(k, 256).astype(jnp.int8)
 
 
+# ---------------------------------------------------------------------------
+# Patch-extraction formulation (round-4 rewrite of the gather-bound path)
+#
+# The stacked-gather implementations below (`keypoint_angles_stacked`,
+# `describe_stacked`) pay the measured TPU random-access floor (~330M
+# elem/s) on EVERY moment tap / rBRIEF bilinear tap: ~41.6 ms/frame of the
+# flagship budget (PERF.md). This formulation gathers each keypoint's
+# 31x32 patch ONCE (block-row fetches: gather cost on TPU is per row, not
+# per element) and turns all remaining sampling into dense VPU/MXU math:
+#
+# * IC-angle moments: a static [31, 32] weight contraction per keypoint;
+# * rotated-BRIEF bilinear taps: separable 1-D triangle-kernel weights
+#   (relu(1 - |x - i|)) contracted against the patch on the MXU — exact
+#   bilinear interpolation, zero gathers.
+#
+# (reference: src/ORBextractor.cc:19-100 IC_Angle + computeOrbDescriptor —
+# the per-keypoint patch walk, re-shaped for a vector machine.)
+# ---------------------------------------------------------------------------
+
+_PW = 32                     # patch lane width (31 used + 1 pad)
+_HP = jax.lax.Precision.HIGHEST
+
+
+def extract_patches(stack: jnp.ndarray, lv: jnp.ndarray,
+                    xy: jnp.ndarray,
+                    radius: int = PATCH_RADIUS):
+    """Gather [K, P, 32] patches from a padded pyramid stack.
+
+    stack: [L, h, w]; lv: [K] level ids; xy: [K, 2] level-local coords.
+    Returns (patches [K, P, _PW], ox [K], oy [K]) where (ox, oy) is the
+    patch origin in the level image; for keypoints >= `radius` from the
+    border (guaranteed by the detector's border margin) the keypoint
+    sits at local (radius + frac, radius + frac).
+
+    Fetch strategy: the stack is viewed as 32-wide blocks; each patch row
+    needs at most 2 consecutive blocks (2 row fetches of a [rows, 32]
+    table — row-granular gathers are ~100x cheaper than per-element), and
+    the lane shift inside the 64-wide strip is a tiny one-hot contraction.
+    """
+    L, h, w = stack.shape
+    P = 2 * radius + 1
+    nb = -(-w // _PW)
+    wp = nb * _PW
+    if wp != w:
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, wp - w)),
+                        mode="edge")
+    xi = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    yi = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    ox = jnp.clip(xi - radius, 0, w - _PW)
+    oy = jnp.clip(yi - radius, 0, h - P)
+    b0 = ox // _PW
+    off = ox - b0 * _PW                                  # [K] in [0, 32)
+    blocks = stack.reshape(L * h * nb, _PW)
+    row = (lv[:, None] * h + oy[:, None]
+           + jnp.arange(P, dtype=jnp.int32)[None])       # [K, P]
+    base = row * nb + b0[:, None]                        # [K, P]
+    two = jnp.stack([base, jnp.minimum(base + 1, L * h * nb - 1)],
+                    axis=-1)                             # [K, P, 2]
+    strip = blocks[two].reshape(-1, P, 2 * _PW)          # [K, P, 64]
+    # lane shift by `off`: one-hot [K, 64, 32] contraction (exact select)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (2 * _PW, _PW), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (2 * _PW, _PW), 1)
+    sel = (jj[None] == off[:, None, None] + cc[None]).astype(stack.dtype)
+    patches = jnp.einsum("kpj,kjc->kpc", strip, sel, precision=_HP)
+    return patches, ox, oy
+
+
+def _patch_moment_weights(radius: int):
+    """Static [P, _PW] (wx, wy) circular-patch moment weights, origin at
+    (radius, radius)."""
+    P = 2 * radius + 1
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = _circular_mask(radius)
+    wx = np.zeros((P, _PW), np.float32)
+    wy = np.zeros((P, _PW), np.float32)
+    wx[:, :P] = x * mask
+    wy[:, :P] = y * mask
+    return wx, wy
+
+
+def patch_angles(patches: jnp.ndarray,
+                 radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """IC angles from extracted patches [K, P, _PW] (keypoint at the
+    patch center): two dense weight contractions, no gathers."""
+    wx, wy = _patch_moment_weights(radius)
+    m10 = jnp.einsum("kpc,pc->k", patches, jnp.asarray(wx),
+                     precision=_HP)
+    m01 = jnp.einsum("kpc,pc->k", patches, jnp.asarray(wy),
+                     precision=_HP)
+    return jnp.arctan2(m01, m10)
+
+
+def patch_describe(patches_blur: jnp.ndarray, xy: jnp.ndarray,
+                   ox: jnp.ndarray, oy: jnp.ndarray,
+                   angles: jnp.ndarray,
+                   radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """Rotated-BRIEF from blurred patches — bilinear taps as separable
+    triangle-kernel weight contractions (exact bilinear, no gathers).
+
+    patches_blur: [K, P, _PW]; xy: [K, 2] level-local keypoint coords;
+    (ox, oy): patch origins from `extract_patches`.
+    Returns bits [K, 256] int8 {0, 1}.
+    """
+    K = patches_blur.shape[0]
+    P = patches_blur.shape[1]
+    pat = jnp.asarray(_PATTERN)                     # [256, 2, 2]
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    px_, py_ = pat[..., 0], pat[..., 1]             # [256, 2]
+    rx = (c[:, None, None] * px_[None]
+          - s[:, None, None] * py_[None]).reshape(K, -1)   # [K, 512]
+    ry = (s[:, None, None] * px_[None]
+          + c[:, None, None] * py_[None]).reshape(K, -1)
+    sx = jnp.clip(xy[:, 0:1] - ox[:, None].astype(xy.dtype) + rx,
+                  0.0, _PW - 1.001)                 # [K, 512] patch-local
+    sy = jnp.clip(xy[:, 1:2] - oy[:, None].astype(xy.dtype) + ry,
+                  0.0, P - 1.001)
+    lanes = jnp.arange(_PW, dtype=sx.dtype)
+    rows_ = jnp.arange(P, dtype=sy.dtype)
+    # triangle kernel == exact 1-D linear interpolation weights
+    wxw = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - lanes))
+    wyw = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - rows_))
+    a = jnp.einsum("kpc,ktc->ktp", patches_blur, wxw, precision=_HP)
+    vals = jnp.sum(a * wyw, axis=-1).reshape(K, -1, 2)   # [K, 256, 2]
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)
+
+
 def _moment_weights_rows(radius: int):
     """[2r+1, 4*ceil((2r+1)/4)] (x, y) moment weights of the circular
     patch, zero-padded in the column dim to a multiple of 4 (the run-4

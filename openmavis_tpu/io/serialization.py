@@ -20,6 +20,30 @@ from ..slam_map import map_state as ms
 FORMAT_VERSION = 1
 
 
+def _from_fields(get, stored_fields) -> ms.MapState:
+    """MapState from stored arrays, default-filling fields added after
+    the checkpoint was written (forward compatibility)."""
+    vals = {}
+    for f in ms.MapState._fields:
+        if f in stored_fields:
+            vals[f] = jnp.asarray(get(f))
+    missing = [f for f in ms.MapState._fields if f not in vals]
+    if missing:
+        L = ms.MAX_LOOP_EDGES
+        defaults = {
+            "loop_i": jnp.full((L,), -1, jnp.int32),
+            "loop_j": jnp.full((L,), -1, jnp.int32),
+            "loop_valid": jnp.zeros((L,), bool),
+            "n_loop": jnp.zeros((), jnp.int32),
+        }
+        for f in missing:
+            if f not in defaults:
+                raise ValueError(f"checkpoint missing field {f!r} with "
+                                 "no known default")
+            vals[f] = defaults[f]
+    return ms.MapState(**vals)
+
+
 def config_hash(cfg_dict: dict) -> str:
     """Stable hash binding a checkpoint to its configuration (the analog of
     the reference's vocabulary MD5 binding, System.cc:1520-1556)."""
@@ -51,8 +75,7 @@ def load_map(path: str, cfg_dict: dict | None = None,
                 raise ValueError(
                     "checkpoint was written with a different configuration "
                     f"({header['config_hash']} != {h})")
-        return ms.MapState(**{f: jnp.asarray(data[f])
-                              for f in header["fields"]})
+        return _from_fields(lambda f: data[f], header["fields"])
 
 
 def save_atlas(path: str, atlas, cfg_dict: dict | None = None):
@@ -92,12 +115,9 @@ def load_atlas(path: str, cfg_dict: dict | None = None,
                     f"configuration ({header['config_hash']} != {h})")
         if header.get("kind") != "atlas":
             # single-map checkpoint: wrap as a 1-map atlas
-            m = ms.MapState(**{f: jnp.asarray(data[f])
-                               for f in header["fields"]})
-            return [m], 0
+            return [_from_fields(lambda f: data[f], header["fields"])], 0
         maps = []
         for i in range(header["n_maps"]):
-            maps.append(ms.MapState(**{
-                f: jnp.asarray(data[f"m{i}__{f}"])
-                for f in header["fields"]}))
+            maps.append(_from_fields(
+                lambda f, i=i: data[f"m{i}__{f}"], header["fields"]))
         return maps, header["current"]

@@ -64,6 +64,12 @@ class LoopConfig:
     # CorrectLoop spawns RunGlobalBundleAdjustment, src/LoopClosing.cc:
     # 1372; FullInertialBA for inertial maps, 2366-2368)
     run_gba: bool = True
+    # gravity-direction gate for inertial maps ("BAD LOOP" branch,
+    # reference: src/LoopClosing.cc:307-335 gates |phi_xy| < 0.008 and
+    # |phi_z| < 0.349; tilt_max defaults wider because this estimator's
+    # measured tilt drift on long streams is 0.02-0.06 rad)
+    tilt_max: float = 0.08
+    yaw_max: float = 0.349
 
 
 class MatchedPairs(NamedTuple):
@@ -380,6 +386,16 @@ class LoopCloser:
             res = res._replace(s=ref.s, R=ref.R, t=ref.t,
                                inlier=ref.inlier,
                                n_inliers=ref.n_inliers)
+        if self.inertial:
+            # gravity-direction gate ("BAD LOOP" branch, reference:
+            # src/LoopClosing.cc:307-335): reject hypotheses whose world
+            # correction tilts roll/pitch or implies an extreme yaw jump
+            from ..geometry import lie as lie_mod
+            R_corr = (m.kf_R[cand] @ res.R) @ m.kf_R[slot].T
+            phi = np.abs(np.asarray(lie_mod.so3_log(R_corr)))
+            if not (phi[0] < cfg.tilt_max and phi[1] < cfg.tilt_max
+                    and phi[2] < cfg.yaw_max):
+                return None
         return res
 
     def on_keyframe(self, m: ms.MapState, slot: int, chain=None,
@@ -500,6 +516,25 @@ class LoopCloser:
             valid=jnp.asarray([True]))
         edges = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                              edges, loop_edge)
+        # persistent edges from earlier loops/merges, re-measured from the
+        # current poses (reference: mspLoopEdges consumed by every
+        # OptimizeEssentialGraph solve, src/Optimizer.cc:1826)
+        lv = (m.loop_valid & (m.loop_i >= 0) & (m.loop_j >= 0)
+              & m.kf_valid[jnp.clip(m.loop_i, 0, K - 1)]
+              & m.kf_valid[jnp.clip(m.loop_j, 0, K - 1)])
+        if bool(jnp.any(lv)):
+            li = jnp.clip(m.loop_i, 0, K - 1)
+            lj = jnp.clip(m.loop_j, 0, K - 1)
+            sli, Rli, tli = lie.sim3_inverse(s0[li], R_cw[li], t_cw[li])
+            sle, Rle, tle = lie.sim3_compose(
+                s0[lj], R_cw[lj], t_cw[lj], sli, Rli, tli)
+            stored_e = pose_graph.PoseGraphEdges(
+                i=li, j=lj, s=sle, R=Rle, t=tle,
+                weight=jnp.full(li.shape, cfg.loop_edge_weight),
+                valid=lv)
+            edges = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                                 edges, stored_e)
+        m = ms.add_loop_edge(m, cand, slot)
 
         fixed = jnp.zeros((K,), bool).at[cand].set(True)
         node_valid = m.kf_valid
@@ -614,6 +649,9 @@ class LoopCloser:
                     m_old, m_cur, s_w, R_w, t_w)
                 if not ok_m:
                     continue
+                # record the weld as a permanent merge edge (reference:
+                # mspMergeEdges, KeyFrame.h:216-243)
+                merged = ms.add_loop_edge(merged, cand, slot + kf_off)
                 # welding BA over the seam: the welded-in map's keyframes
                 # move, the older map anchors the gauge (reference: the
                 # welding LocalBundleAdjustment after MergeLocal's Sim3

@@ -121,7 +121,8 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                  temporal: int = 2, recent_exclude: int = 8,
                  covis_exclude: int = 15, cov_edge_threshold: int = 30,
                  n_cov_edges: int = 64, cooldown_kf: int = 10,
-                 run_gba: bool = False):
+                 run_gba: bool = False,
+                 tilt_max: float = 0.08, yaw_max: float = 0.349):
     """Build the jitted per-frame loop-closing program.
 
     Returns step(m, c, lcc, rig) -> (m, c, lcc) where `c` is the
@@ -172,8 +173,24 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             i=cand[None], j=slot[None],
             s=si_r[None], R=Ri_r[None], t=ti_r[None],
             weight=jnp.asarray([5.0]), valid=jnp.asarray([True]))
+        # persistent edges from earlier loops/merges: re-measure from the
+        # current (already consistent) poses so each solve keeps every
+        # previously closed loop closed (reference: mspLoopEdges in
+        # OptimizeEssentialGraph, src/Optimizer.cc:1826)
+        lv = (m.loop_valid & (m.loop_i >= 0) & (m.loop_j >= 0)
+              & m.kf_valid[jnp.clip(m.loop_i, 0, K - 1)]
+              & m.kf_valid[jnp.clip(m.loop_j, 0, K - 1)])
+        li = jnp.clip(m.loop_i, 0, K - 1)
+        lj = jnp.clip(m.loop_j, 0, K - 1)
+        sli, Rli, tli = lie.sim3_inverse(s0[li], R_cw[li], t_cw[li])
+        sle, Rle, tle = lie.sim3_compose(s0[lj], R_cw[lj], t_cw[lj],
+                                         sli, Rli, tli)
+        stored_e = pose_graph.PoseGraphEdges(
+            i=li, j=lj, s=sle, R=Rle, t=tle,
+            weight=jnp.full(li.shape, 5.0), valid=lv)
         edges = jax.tree.map(lambda *xs: jnp.concatenate(xs),
-                             edges, cov_e, loop_e)
+                             edges, cov_e, loop_e, stored_e)
+        m = ms.add_loop_edge(m, cand, slot)
         fixed = jnp.zeros((K,), bool).at[cand].set(True)
         if inertial:
             edges3 = pose_graph.PoseGraphEdgesSE3(
@@ -243,7 +260,6 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             # pending hypothesis takes priority (temporal consistency)
             has_pending = (lcc.cand >= 0) & (slot > lcc.pend_slot)
             cand = jnp.where(has_pending, lcc.cand, cand_new)
-            do_solve = has_pending | cand_ok
 
             ok_s, n_pairs, s_n, R_n, t_n = _solve_candidate(
                 m, k1, slot, cand, rig)
@@ -261,7 +277,26 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             g_score = lc_mod.group_projection_score(
                 m, slot, cand, cov[cand], s_h, R_h, t_h, rig_kind,
                 n_cams, rig, img_w, img_h)
-            verified = (g_score >= min_group) & (has_pending | ok_s)
+            # a fresh hypothesis must pass BOTH the retrieval-score gate
+            # and the solve; excluded keyframes (argmax fallback when all
+            # scores are -1) can never be verified
+            verified = (g_score >= min_group) & (has_pending
+                                                 | (cand_ok & ok_s))
+            if inertial:
+                # gravity-direction gate: the implied world correction
+                # must not tilt roll/pitch (gravity is observable), and
+                # yaw must stay sane ("BAD LOOP" branch, reference:
+                # src/LoopClosing.cc:307-335 uses |phi_xy| < 0.008;
+                # tilt_max defaults wider (0.08) because this estimator's
+                # measured tilt drift on long streams is 0.02-0.06 rad —
+                # the gate's job here is refusing gross mis-orientations,
+                # not genuine loops under small tilt drift)
+                R_corr = m.kf_R[cand] @ R_h @ m.kf_R[slot].T
+                phi = lie.so3_log(R_corr)
+                verified = (verified
+                            & (jnp.abs(phi[0]) < tilt_max)
+                            & (jnp.abs(phi[1]) < tilt_max)
+                            & (jnp.abs(phi[2]) < yaw_max))
 
             count = jnp.where(
                 verified, jnp.where(has_pending, lcc.count + 1, 1), 0)

@@ -127,4 +127,12 @@ def merge_maps(dst: ms.MapState, src: ms.MapState, s, R, t):
         n_kf=jnp.asarray(n_kf_d + n_kf_s, jnp.int32),
         n_mp=jnp.asarray(n_mp_d + n_mp_s, jnp.int32),
     )
+    # carry src's persistent loop edges across (slots shift by kf_off),
+    # then record the weld itself as a permanent merge edge (reference:
+    # mspMergeEdges, KeyFrame.h:216-243)
+    for li, lj, lv in zip(np.asarray(src.loop_i), np.asarray(src.loop_j),
+                          np.asarray(src.loop_valid)):
+        if lv and li >= 0 and lj >= 0:
+            out = ms.add_loop_edge(out, int(li) + kf_off,
+                                   int(lj) + kf_off)
     return out, True

@@ -54,9 +54,23 @@ class MapState(NamedTuple):
     mp_found: jnp.ndarray    # [M] int32 times matched
     mp_first_kf: jnp.ndarray  # [M] int32
     mp_last_kf: jnp.ndarray   # [M] int32 most recent observing keyframe
+    # --- persistent loop/merge edges ---
+    # Accepted loop-closure constraints survive in the map so every later
+    # essential-graph solve re-includes them (reference: KeyFrame's
+    # permanent mspLoopEdges/mspMergeEdges, KeyFrame.h:216-243, consumed
+    # by OptimizeEssentialGraph src/Optimizer.cc:1826). Topology only —
+    # like the reference, the edge measurement is re-derived from the
+    # current (already corrected) poses at solve time.
+    loop_i: jnp.ndarray      # [L] int32 endpoint slot (-1 = free)
+    loop_j: jnp.ndarray      # [L] int32
+    loop_valid: jnp.ndarray  # [L] bool
     # --- counters ---
     n_kf: jnp.ndarray        # [] int32
     n_mp: jnp.ndarray        # [] int32
+    n_loop: jnp.ndarray      # [] int32 total edges ever accepted
+
+
+MAX_LOOP_EDGES = 16
 
 
 def allocate(max_kf: int, max_feat: int, max_mp: int,
@@ -87,9 +101,25 @@ def allocate(max_kf: int, max_feat: int, max_mp: int,
         mp_found=jnp.zeros((M,), jnp.int32),
         mp_first_kf=jnp.zeros((M,), jnp.int32),
         mp_last_kf=jnp.zeros((M,), jnp.int32),
+        loop_i=jnp.full((MAX_LOOP_EDGES,), -1, jnp.int32),
+        loop_j=jnp.full((MAX_LOOP_EDGES,), -1, jnp.int32),
+        loop_valid=jnp.zeros((MAX_LOOP_EDGES,), bool),
         n_kf=jnp.zeros((), jnp.int32),
         n_mp=jnp.zeros((), jnp.int32),
+        n_loop=jnp.zeros((), jnp.int32),
     )
+
+
+def add_loop_edge(m: MapState, i, j) -> MapState:
+    """Record an accepted loop/merge constraint between keyframe slots
+    (ring buffer over MAX_LOOP_EDGES; jit-safe)."""
+    L = m.loop_i.shape[0]
+    slot = jnp.mod(m.n_loop, L)
+    return m._replace(
+        loop_i=m.loop_i.at[slot].set(jnp.asarray(i, jnp.int32)),
+        loop_j=m.loop_j.at[slot].set(jnp.asarray(j, jnp.int32)),
+        loop_valid=m.loop_valid.at[slot].set(True),
+        n_loop=m.n_loop + 1)
 
 
 def covisibility_matrix(m: MapState) -> jnp.ndarray:
@@ -228,6 +258,12 @@ def compact_keyframes(m: MapState):
     def gather(x):
         return x[old_of_new]
 
+    # loop edges follow their endpoints; an edge dies with either endpoint
+    le_ok = (m.loop_valid & (m.loop_i >= 0) & (m.loop_j >= 0)
+             & valid[jnp.clip(m.loop_i, 0, K - 1)]
+             & valid[jnp.clip(m.loop_j, 0, K - 1)])
+    le_i = jnp.where(le_ok, new_of_old[jnp.clip(m.loop_i, 0, K - 1)], -1)
+    le_j = jnp.where(le_ok, new_of_old[jnp.clip(m.loop_j, 0, K - 1)], -1)
     m2 = m._replace(
         kf_R=gather(m.kf_R), kf_t=gather(m.kf_t), kf_v=gather(m.kf_v),
         kf_bg=gather(m.kf_bg), kf_ba=gather(m.kf_ba),
@@ -240,6 +276,7 @@ def compact_keyframes(m: MapState):
         kf_obs=jnp.where(used[:, None], gather(m.kf_obs), -1),
         mp_first_kf=new_of_old[jnp.clip(m.mp_first_kf, 0, K - 1)],
         mp_last_kf=new_of_old[jnp.clip(m.mp_last_kf, 0, K - 1)],
+        loop_i=le_i, loop_j=le_j, loop_valid=le_ok,
         n_kf=n_valid,
     )
     return m2, old_of_new, new_of_old
@@ -292,6 +329,14 @@ def decimate_keyframes(m: MapState, current_slot, keep_recent: int = 8,
                  | ~m.kf_valid)
     old_half = idx < (current_slot // 2)
     drop = ~protected & old_half & (idx % 2 == 1)
+    # loop edges are load-bearing constraints: never decimate their
+    # endpoints (would lose the closed-loop topology permanently)
+    anchor = jnp.zeros((K,), bool)
+    anchor = anchor.at[jnp.clip(m.loop_i, 0, K - 1)].max(
+        m.loop_valid & (m.loop_i >= 0))
+    anchor = anchor.at[jnp.clip(m.loop_j, 0, K - 1)].max(
+        m.loop_valid & (m.loop_j >= 0))
+    drop = drop & ~anchor
     kf_valid = m.kf_valid & ~drop
     kf_obs = jnp.where(drop[:, None], -1, m.kf_obs)
     return m._replace(kf_valid=kf_valid, kf_obs=kf_obs), drop

@@ -266,3 +266,176 @@ def test_stereo_inertial_euroc_from_disk(tmp_path):
                               with_scale=True)
     assert res["rmse"] < 0.3, (res, proc.stderr)
     assert abs(res["scale"] - 1.0) < 0.12, res
+
+
+@pytest.mark.slow
+def test_multi_inertial_euroc_from_disk(tmp_path):
+    """The FLAGSHIP main with --settings (reference: Examples/
+    Multi-Inertial/multi_inertial_euroc.cc): the parsed-settings path
+    (rig/noise/orb from yaml) drives the streaming VI tracker."""
+    n = 40
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wb, t_wb = synthetic.orbit_trajectory(n, radius=6.0, frac=0.3)
+    times_ns = [int((i * DT) * 1e9) for i in range(n)]
+    mav = tmp_path / "seq" / "mav0"
+    centers = np.array([[-BASELINE / 2, 0, 0], [BASELINE / 2, 0, 0]],
+                       np.float32)
+    for ci, cam in enumerate(("cam0", "cam1")):
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, centers[ci])
+        frames = _render(world, R_wb, t_wc)
+        _write_euroc_cam(str(mav), cam, frames, times_ns)
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT, rate_mult=10)
+    os.makedirs(mav / "imu0", exist_ok=True)
+    with open(mav / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],wx,wy,wz,ax,ay,az\n")
+        for (w, a, t) in imu:
+            f.write(f"{int(t * 1e9)},{w[0]},{w[1]},{w[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+    gt = tmp_path / "gt.txt"
+    _write_gt_tum(str(gt), [i * DT for i in range(n)], t_wb)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    T1 = np.eye(4); T1[0, 3] = -BASELINE / 2
+    T2 = np.eye(4); T2[0, 3] = BASELINE / 2
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T1.tolist()},
+        "Camera2": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T2.tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+        "IMU": {"NoiseGyro": 1.7e-4, "NoiseAcc": 2.0e-3,
+                "GyroWalk": 1.9e-5, "AccWalk": 3.0e-3,
+                "Frequency": 200.0},
+    }))
+    proc = _run_example("multi_inertial_euroc.py", [
+        str(tmp_path / "seq"), "--settings", str(cfgf),
+        "--cams", "cam0,cam1", "--out", str(out), "--gt", str(gt),
+        "--lc-every", "0", "--max-kf", "32", "--max-mp", "6144"])
+    assert "imu_init=True" in proc.stderr, proc.stderr
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= n - 8, proc.stderr
+    t_gt = np.arange(n) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wb,
+                              with_scale=True)
+    assert res["rmse"] < 0.3, (res, proc.stderr)
+    assert abs(res["scale"] - 1.0) < 0.12, res
+
+
+@pytest.mark.slow
+def test_mono_inertial_tumvi_kb8_from_disk(tmp_path):
+    """Mono-inertial main on a KannalaBrandt8 fisheye render with
+    reference-style `k1..k4` distortion keys in the yaml (reference:
+    Examples/Monocular-Inertial/mono_inertial_tum_vi.cc + TUM-VI.yaml;
+    Settings.cc:254-259 maps yaml k1..k4 to internal k0..k3)."""
+    n = 44
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wb, t_wb = synthetic.orbit_trajectory(n, radius=6.0, frac=0.3)
+    kb8 = np.array([200.0, 200.0, W / 2, H / 2,
+                    0.02, -0.004, 0.001, -0.0002], np.float32)
+    frames = np.clip(synthetic.render_sequence(
+        world, cameras.KB8, kb8, R_wb, t_wb, W, H), 0,
+        255).astype(np.uint8)
+    times_ns = [int((i * DT) * 1e9) for i in range(n)]
+    mav = tmp_path / "seq" / "mav0"
+    _write_euroc_cam(str(mav), "cam0", frames, times_ns)
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT, rate_mult=10)
+    os.makedirs(mav / "imu0", exist_ok=True)
+    with open(mav / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],wx,wy,wz,ax,ay,az\n")
+        for (w, a, t) in imu:
+            f.write(f"{int(t * 1e9)},{w[0]},{w[1]},{w[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+    gt = tmp_path / "gt.txt"
+    _write_gt_tum(str(gt), [i * DT for i in range(n)], t_wb)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "KannalaBrandt8", "width": W, "height": H,
+                   "fps": 20.0},
+        # reference naming: k1..k4 are the theta-poly coefficients
+        "Camera1": {"fx": 200.0, "fy": 200.0, "cx": W / 2, "cy": H / 2,
+                    "k1": 0.02, "k2": -0.004, "k3": 0.001,
+                    "k4": -0.0002, "T_b_c": np.eye(4).tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+        "IMU": {"NoiseGyro": 1.7e-4, "NoiseAcc": 2.0e-3,
+                "GyroWalk": 1.9e-5, "AccWalk": 3.0e-3,
+                "Frequency": 200.0},
+    }))
+    proc = _run_example("mono_inertial_tum_vi.py", [
+        str(tmp_path / "seq"), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    assert "imu_init=True" in proc.stderr, proc.stderr
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= n - 10, proc.stderr
+    t_gt = np.arange(n) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wb,
+                              with_scale=True)
+    # wiring-level gates: mono-inertial scale needs several seconds of
+    # excitation to converge (the reference refines at 5 s / 15 s —
+    # VIBA1/VIBA2, src/LocalMapping.cc:224-265); on this 2.2 s arc both
+    # pinhole and KB8 sit at ~25% scale error, so the tight accuracy
+    # budget is owned by the parity harness, not this CLI test
+    assert res["rmse"] < 1.0, (res, proc.stderr)
+    assert 0.7 < res["scale"] < 1.6, res
+
+
+@pytest.mark.slow
+def test_stereo_kitti_from_disk(tmp_path):
+    """KITTI odometry main (reference: Examples/Stereo/stereo_kitti.cc):
+    times.txt + image_0/image_1 layout, KITTI-format trajectory out."""
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wb, t_wb = synthetic.orbit_trajectory(N, radius=6.0, frac=0.22)
+    root = tmp_path / "seq"
+    centers = np.array([[-BASELINE / 2, 0, 0], [BASELINE / 2, 0, 0]],
+                       np.float32)
+    for ci, cam in enumerate(("image_0", "image_1")):
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, centers[ci])
+        frames = _render(world, R_wb, t_wc)
+        d = root / cam
+        os.makedirs(d, exist_ok=True)
+        for i in range(N):
+            Image.fromarray(frames[i]).save(d / f"{i:06d}.png")
+    (root / "times.txt").write_text(
+        "\n".join(f"{i * DT:.6e}" for i in range(N)) + "\n")
+    out = tmp_path / "traj_kitti.txt"
+
+    import yaml
+    T1 = np.eye(4); T1[0, 3] = -BASELINE / 2
+    T2 = np.eye(4); T2[0, 3] = BASELINE / 2
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T1.tolist()},
+        "Camera2": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": T2.tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+    }))
+    proc = _run_example("stereo_kitti.py", [
+        str(root), "--settings", str(cfgf), "--out", str(out)])
+    rows = np.loadtxt(str(out))
+    assert rows.shape[1] == 12, rows.shape
+    assert len(rows) >= N - 6, proc.stderr
+    # positions are columns 3, 7, 11 of the 3x4 row-major pose
+    p_est = rows[:, [3, 7, 11]]
+    t_est = np.arange(len(rows)) * DT
+    res = evaluation.ate_rmse(t_est, p_est, np.arange(N) * DT, t_wb,
+                              with_scale=True)
+    assert res["rmse"] < 0.25, (res, proc.stderr)
+    assert abs(res["scale"] - 1.0) < 0.12, res

@@ -207,3 +207,57 @@ class TestExtractor:
         feats = extractor.extract_multicam(imgs, cfg)
         assert feats.xy.shape == (2, 128, 2)
         assert int(feats.valid[0].sum()) > 20
+
+
+class TestPatchFormulation:
+    """The round-4 patch-extraction ORB path must reproduce the stacked-
+    gather reference implementation (same math, different data movement)."""
+
+    def _fixture(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        L, h, w = 3, 120, 160
+        stack = jnp.asarray(rng.uniform(0, 255, (L, h, w)).astype(
+            np.float32))
+        K = 64
+        lv = jnp.asarray(rng.integers(0, L, K).astype(np.int32))
+        # keypoints at least 16 px inside (the detector's border margin)
+        xy = jnp.asarray(np.stack([
+            rng.uniform(16, w - 17, K), rng.uniform(16, h - 17, K)],
+            axis=-1).astype(np.float32))
+        return stack, lv, jnp.floor(xy)
+
+    def test_patch_angles_match_stacked(self):
+        stack, lv, xy = self._fixture()
+        a_old = orb.keypoint_angles_stacked(stack, lv, xy)
+        patches, _, _ = orb.extract_patches(stack, lv, xy)
+        a_new = orb.patch_angles(patches)
+        import numpy as np
+        d = np.abs(np.asarray(a_new) - np.asarray(a_old))
+        d = np.minimum(d, 2 * np.pi - d)
+        assert d.max() < 1e-3, d.max()
+
+    def test_patch_describe_matches_stacked(self):
+        import numpy as np
+        stack, lv, xy = self._fixture()
+        angles = orb.keypoint_angles_stacked(stack, lv, xy)
+        bits_old = np.asarray(orb.describe_stacked(stack, lv, xy, angles))
+        patches, ox, oy = orb.extract_patches(stack, lv, xy)
+        bits_new = np.asarray(orb.patch_describe(patches, xy, ox, oy,
+                                                 angles))
+        mismatch = (bits_old != bits_new).mean()
+        # identical bilinear math; only float-rounding ties may flip bits
+        assert mismatch < 0.005, mismatch
+
+    def test_extract_still_works_end_to_end(self):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (120, 160)).astype(
+            np.float32))
+        cfg = extractor.OrbConfig(n_features=128, n_levels=3)
+        feats = extractor.extract(img, cfg)
+        assert int(feats.valid.sum()) > 20
+        d = np.asarray(feats.desc[np.asarray(feats.valid)])
+        assert set(np.unique(d)) <= {0, 1}
+        # descriptors must be discriminative (not constant)
+        assert d.std() > 0.3

@@ -48,12 +48,13 @@ def _observe(m, slot, R_wb, t_wb, mp_ids, desc):
         jnp.zeros((F,), jnp.int32), fv, obs)
 
 
-def build_aliased_map(second_consistent: bool):
+def build_aliased_map(second_consistent: bool, R_B=None):
     """Map with scene A (KFs 0-2) and a far-away aliased scene B
     (KFs 10, 11): B's keyframes carry A's DESCRIPTORS and KF10's local
     geometry is an exact rigid copy of A's (so the pair-wise Sim3 is
     perfect). KF11 either continues the aliased copy (true-loop case) or
-    observes unrelated structure (false-loop case)."""
+    observes unrelated structure (false-loop case). `R_B` overrides the
+    scene-B rotation (the implied loop-correction rotation)."""
     key = jax.random.PRNGKey(0)
     m = ms.allocate(K, F, M)
 
@@ -68,7 +69,8 @@ def build_aliased_map(second_consistent: bool):
                               (N_L, 256)).astype(jnp.int8)
 
     # scene B: same local structure, far away, rotated (aliasing)
-    R_B = lie.so3_exp(jnp.asarray([0.0, 1.3, 0.0]))
+    if R_B is None:
+        R_B = lie.so3_exp(jnp.asarray([0.0, 1.3, 0.0]))
     t_B = jnp.asarray([40.0, 0.0, 0.0])
     Lb = jnp.einsum("ij,mj->mi", R_B, La) + t_B
 
@@ -160,3 +162,86 @@ class TestLoopVerification:
         # correction must weld B onto A: KF10 lands near KF0's pose
         d = float(jnp.linalg.norm(m2.kf_t[10] - m2.kf_t[0]))
         assert d < 2.0, d
+
+
+class TestGravityGate:
+    """Inertial loop acceptance must refuse corrections that tilt the
+    gravity direction (reference: the "BAD LOOP" branch,
+    src/LoopClosing.cc:307-335 — |phi_xy| < 0.008, |phi_z| < 0.349)."""
+
+    def test_tilted_loop_refused(self):
+        # scene-B rotation about y => the implied world correction is a
+        # pure PITCH of 1.3 rad — a gravity-inconsistent hypothesis
+        m = build_aliased_map(second_consistent=True)
+        lc = loop_closing.LoopCloser(None, K, CFG, rig=mono_rig(),
+                                     inertial=True, img_w=W, img_h=H)
+        m, closed = lc.on_keyframe(m, 10)
+        m, closed2 = lc.on_keyframe(m, 11)
+        assert not closed and not closed2
+        assert lc.n_loops == 0
+
+    def test_yaw_only_loop_accepted(self):
+        # same scenario with a 0.2 rad YAW correction (z-axis): within
+        # both the tilt and yaw gates, so the loop must still close
+        R_yaw = lie.so3_exp(jnp.asarray([0.0, 0.0, 0.2]))
+        m = build_aliased_map(second_consistent=True, R_B=R_yaw)
+        lc = loop_closing.LoopCloser(None, K, CFG, rig=mono_rig(),
+                                     inertial=True, img_w=W, img_h=H)
+        m, closed = lc.on_keyframe(m, 10)
+        m2, closed2 = lc.on_keyframe(m, 11)
+        assert closed2
+        assert lc.n_loops == 1
+        # the 4DoF (yaw-only) graph leaves more residual than the Sim3
+        # solve on this artificial 40 m weld; the gate-acceptance is the
+        # claim under test — just require most of the gap closed
+        d = float(jnp.linalg.norm(m2.kf_t[10] - m2.kf_t[0]))
+        assert d < 10.0, d
+
+
+class TestPersistentLoopEdges:
+    """Accepted loops leave a permanent edge in the map (reference:
+    KeyFrame::mspLoopEdges, KeyFrame.h:216-243)."""
+
+    def _closed_map(self):
+        m = build_aliased_map(second_consistent=True)
+        lc = loop_closing.LoopCloser(None, K, CFG, rig=mono_rig(),
+                                     img_w=W, img_h=H)
+        m, _ = lc.on_keyframe(m, 10)
+        m2, closed = lc.on_keyframe(m, 11)
+        assert closed
+        return m2
+
+    def test_edge_recorded(self):
+        m2 = self._closed_map()
+        assert int(m2.n_loop) == 1
+        assert bool(m2.loop_valid[0])
+        i, j = int(m2.loop_i[0]), int(m2.loop_j[0])
+        assert j == 11 and i in (0, 1, 2), (i, j)
+
+    def test_edge_survives_compaction(self):
+        m2 = self._closed_map()
+        i_old, j_old = int(m2.loop_i[0]), int(m2.loop_j[0])
+        # cull an unrelated keyframe below both endpoints -> slots shift
+        kill = 5
+        m3 = m2._replace(kf_valid=m2.kf_valid.at[kill].set(False))
+        m4, _, new_of_old = ms.compact_keyframes(m3)
+        assert bool(m4.loop_valid[0])
+        assert int(m4.loop_i[0]) == int(new_of_old[i_old])
+        assert int(m4.loop_j[0]) == j_old - 1  # one slot below was culled
+
+    def test_edge_dies_with_endpoint(self):
+        m2 = self._closed_map()
+        j_old = int(m2.loop_j[0])
+        m3 = m2._replace(kf_valid=m2.kf_valid.at[j_old].set(False))
+        m4, _, _ = ms.compact_keyframes(m3)
+        assert not bool(m4.loop_valid[0])
+
+    def test_decimation_protects_endpoints(self):
+        m2 = self._closed_map()
+        i_old = int(m2.loop_i[0])
+        # decimation over the old half would normally hit odd slots;
+        # force the endpoint into the vulnerable set and check protection
+        m3, drop = ms.decimate_keyframes(m2, int(m2.n_kf) - 1,
+                                         keep_recent=1, keep_first=0)
+        assert not bool(drop[i_old])
+        assert bool(m3.kf_valid[i_old])
