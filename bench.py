@@ -108,6 +108,10 @@ def main():
         max_kf=64, max_mp=16384, traj_cap=192,
         ba_window=8, imu_init_kfs=6, kf_max_interval_s=0.25,
         temporal_refs=2,
+        # 8 frames per device dispatch: the ~20 ms fixed relay overhead
+        # per dispatch amortizes to ~2.5 ms/frame (PERF.md transport
+        # model); the scan body is the identical per-frame step
+        frames_per_dispatch=8,
         # local-map tracking (reference: TrackLocalMap's covisible window,
         # src/Tracking.cc:3396): matching against the WHOLE map would hide
         # drift by continuously re-binding revisited landmarks — realistic

@@ -61,6 +61,7 @@ def main():
         W, H = parsed["camera_width"], parsed["camera_height"]
         orb = parsed["orb"]
         freq = parsed["imu_frequency"]
+        lapping = tuple(map(tuple, parsed["lapping"].tolist()))
         if noise is None:
             noise = pre_mod.ImuNoise.from_sigmas(1.7e-4, 2e-3, 1.9e-5,
                                                  3e-3, 200.0)
@@ -92,6 +93,7 @@ def main():
     vcfg = streaming_vi.VIStreamConfig(
         img_w=W, img_h=H, n_cams=C,
         stereo_pairs=((0, 1),) if C >= 2 else (),
+        lapping=lapping if args.settings else (),
         orb=orb, imu_freq=freq,
         imu_per_frame=max(32, int(2 * freq / 20)),
         max_kf=args.max_kf, max_mp=args.max_mp, traj_cap=max(n, 128))

@@ -166,14 +166,32 @@ def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
     return state, feat_mp, n_in, matched, keep
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "pair", "n_cams"))
+def _lap(cfg, cam: int):
+    """Static (colBegin, colEnd) lapping area of camera `cam`, or None
+    when the config declares none (full-width overlap)."""
+    if not getattr(cfg, "lapping", ()):
+        return None
+    return tuple(cfg.lapping[cam])
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "pair", "n_cams",
+                                   "cap_new", "max_depth", "lap1",
+                                   "lap2"))
 def stereo_spawn(m: ms.MapState, slot, rig_kind: int, n_cams: int,
                  rig: RigParams, pair: tuple, cap_new: int = 512,
-                 max_depth: float = 40.0):
+                 max_depth: float = 40.0,
+                 lap1: tuple | None = None, lap2: tuple | None = None):
     """Triangulate landmarks from one intra-rig camera pair of keyframe
     `slot` (reference: Frame::ComputeMultiFishEyeMatches + KannalaBrandt8::
     TriangulateMatches, src/Frame.cc:1461-1527; the metric-scale source of
     the multi-camera pipeline).
+
+    lap1/lap2: optional (colBegin, colEnd) LAPPING AREAS — only keypoints
+    inside the overlapping column range of each camera are stereo
+    candidates (reference: the vLapping interval returned by
+    ORBextractor::operator() and mvLappingArea in
+    KannalaBrandt8.h:96 / Frame.cc:1461-1475 — fisheye pairs overlap
+    only partially, and out-of-lap matches are geometry-free).
     """
     c1, c2 = pair
     CF = m.kf_xy.shape[1]
@@ -185,6 +203,12 @@ def stereo_spawn(m: ms.MapState, slot, rig_kind: int, n_cams: int,
     d2 = m.kf_desc[slot][s2]
     un1 = ((m.kf_obs[slot] < 0) & m.kf_feat_valid[slot])[s1]
     un2 = ((m.kf_obs[slot] < 0) & m.kf_feat_valid[slot])[s2]
+    if lap1 is not None:
+        x1 = m.kf_xy[slot][s1][:, 0]
+        un1 = un1 & (x1 >= lap1[0]) & (x1 <= lap1[1])
+    if lap2 is not None:
+        x2 = m.kf_xy[slot][s2][:, 0]
+        un2 = un2 & (x2 >= lap2[0]) & (x2 <= lap2[1])
     idx, hdist = matcher.match_nn(d1, un1, d2, un2, max_dist=64,
                                   ratio=0.85, mutual=True)
     idx = matcher.dedup_targets(idx, hdist, F)
@@ -576,6 +600,9 @@ class MultiTrackerConfig:
     img_h: int = 480
     n_cams: int = 4
     stereo_pairs: tuple = ((0, 1),)    # overlapping rig pairs
+    # per-camera (colBegin, colEnd) stereo lapping areas; () = full width
+    # (reference: CameraN.overlappingBegin/End, mvLappingArea)
+    lapping: tuple = ()
     orb: extractor.OrbConfig = field(default_factory=extractor.OrbConfig)
     max_kf: int = 64
     max_mp: int = 16384
@@ -1119,7 +1146,9 @@ class MultiTracker:
         total = 0
         for pair in cfg.stereo_pairs:
             m, n_new = stereo_spawn(m, jnp.asarray(0), self.rig.kind,
-                                    cfg.n_cams, self.rig, pair)
+                                    cfg.n_cams, self.rig, pair,
+                                    lap1=_lap(cfg, pair[0]),
+                                    lap2=_lap(cfg, pair[1]))
             total += int(n_new)
         if total < 50:
             self.map = ms.allocate(cfg.max_kf, CF, cfg.max_mp)
@@ -1147,7 +1176,8 @@ class MultiTracker:
         for pair in cfg.stereo_pairs:
             self.map, _ = stereo_spawn(
                 self.map, jnp.asarray(slot), self.rig.kind, cfg.n_cams,
-                self.rig, pair, cap_new=cfg.new_mp_cap)
+                self.rig, pair, cap_new=cfg.new_mp_cap,
+                lap1=_lap(cfg, pair[0]), lap2=_lap(cfg, pair[1]))
         # ... plus temporal points per camera band against recent KFs
         # (reference: CreateNewMapPoints, src/LocalMapping.cc:395)
         refs = jnp.asarray([slot - 1 - j for j in range(cfg.temporal_refs)],

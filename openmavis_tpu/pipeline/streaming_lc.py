@@ -63,6 +63,7 @@ class LCCarry(NamedTuple):
     t: jnp.ndarray            # [3]
     n_loops: jnp.ndarray      # [] i32 total corrections applied
     cooldown: jnp.ndarray     # [] i32 keyframes to skip after a loop
+    gba_left: jnp.ndarray     # [] i32 amortized post-loop GBA steps left
 
 
 def init_lc_carry() -> LCCarry:
@@ -73,7 +74,8 @@ def init_lc_carry() -> LCCarry:
         count=jnp.zeros((), jnp.int32),
         s=jnp.ones(()), R=jnp.eye(3), t=jnp.zeros(3),
         n_loops=jnp.zeros((), jnp.int32),
-        cooldown=jnp.zeros((), jnp.int32))
+        cooldown=jnp.zeros((), jnp.int32),
+        gba_left=jnp.zeros((), jnp.int32))
 
 
 def _retrieval_scores(m: ms.MapState, slot, sub: int):
@@ -122,13 +124,22 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                  covis_exclude: int = 15, cov_edge_threshold: int = 30,
                  n_cov_edges: int = 64, cooldown_kf: int = 10,
                  run_gba: bool = False,
-                 tilt_max: float = 0.08, yaw_max: float = 0.349):
+                 tilt_max: float = 0.08, yaw_max: float = 0.349,
+                 gba_steps: int = 4, gba_cg: int = 8):
     """Build the jitted per-frame loop-closing program.
 
     Returns step(m, c, lcc, rig) -> (m, c, lcc) where `c` is the
     streaming VIStreamCarry (its pose is re-expressed through its
     reference keyframe when a correction fires, and its preintegration
-    chain feeds the optional FullInertialBA).
+    chain feeds the post-loop FullInertialBA).
+
+    Post-loop GBA (reference: the BACKGROUND RunGlobalBundleAdjustment
+    thread, src/LoopClosing.cc:1372): `run_gba=True` runs the full
+    budget inside the correction dispatch (a ~1 s stall); the default is
+    the AMORTIZED path — after a correction, the next `gba_steps`
+    keyframe dispatches each run ONE reduced FullInertialBA iteration
+    (cg depth `gba_cg`) over the whole map, converging across frames
+    without stalling the stream. `gba_steps=0` disables.
     """
 
     def _solve_candidate(m, key, slot, cand, rig):
@@ -232,7 +243,32 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
 
     def _step(m, c, lcc: LCCarry, rig):
         slot = m.n_kf - 1
-        fresh_kf = ((slot != lcc.last_slot) & (slot >= recent_exclude)
+        new_kf = (slot != lcc.last_slot) & (slot > 0)
+
+        # amortized post-loop GBA: one reduced FullInertialBA iteration
+        # per keyframe dispatch while the budget lasts (uses gba_left
+        # from PREVIOUS dispatches; a fresh correction below re-arms it)
+        if gba_steps > 0:
+            from . import tracking as trk
+
+            def gba_one(m):
+                if inertial:
+                    pre_b = jax.tree.map(lambda x: x[1:], c.chain)
+                    m2, _ = trk.global_inertial_ba_step(
+                        m, pre_b, c.chain_valid[1:], rig_kind, rig,
+                        stages=(1,), cg_iters=gba_cg)
+                else:
+                    m2, _ = trk.global_ba_step(
+                        m, rig_kind, rig, stages=(1,), cg_iters=gba_cg)
+                return m2
+
+            do_gba = new_kf & (lcc.gba_left > 0)
+            m = jax.lax.cond(do_gba, gba_one, lambda m: m, m)
+            lcc = lcc._replace(
+                gba_left=jnp.where(do_gba, lcc.gba_left - 1,
+                                   lcc.gba_left))
+
+        fresh_kf = (new_kf & (slot >= recent_exclude)
                     & (lcc.cooldown <= 0))
         lcc = lcc._replace(
             last_slot=jnp.where(slot != lcc.last_slot, slot,
@@ -326,7 +362,8 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                 t=jnp.where(verified & ~has_pending, t_n, t_h),
                 n_loops=lcc.n_loops + confirm.astype(jnp.int32),
                 cooldown=jnp.where(confirm, cooldown_kf,
-                                   lcc.cooldown))
+                                   lcc.cooldown),
+                gba_left=jnp.where(confirm, gba_steps, lcc.gba_left))
             return m, c2, lcc
 
         return jax.lax.cond(fresh_kf, process,

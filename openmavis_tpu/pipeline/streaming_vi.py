@@ -106,6 +106,9 @@ class VIStreamConfig:
     img_h: int = 480
     n_cams: int = 4
     stereo_pairs: tuple = ((0, 1),)
+    # per-camera (colBegin, colEnd) stereo lapping areas; () = full width
+    # (reference: CameraN.overlappingBegin/End, mvLappingArea)
+    lapping: tuple = ()
     orb: extractor.OrbConfig = None
     use_imu: bool = True
     imu_freq: float = 200.0
@@ -130,6 +133,13 @@ class VIStreamConfig:
     init_min_inliers: int = 50
     min_rig_landmarks: int = 40  # rig-init success threshold
     ba_every_kf: bool = True
+    # frames per device dispatch: >1 wraps the per-frame step in a
+    # lax.scan so the fixed per-dispatch transport overhead (~20 ms
+    # through the tunneled axon relay, PERF.md) amortizes across the
+    # chunk; the host buffers frames and flushes on block()/snapshot().
+    # Latency rises by (chunk-1) frame periods; throughput is what the
+    # reference's realtime budget measures.
+    frames_per_dispatch: int = 1
 
     @property
     def metric_scale(self) -> bool:
@@ -384,7 +394,9 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         # intra-rig stereo points (metric)
         for pair in cfg.stereo_pairs:
             m, _ = mt.stereo_spawn(m, slot, rig_kind, C, rig, pair,
-                                   cap_new=cfg.new_mp_cap)
+                                   cap_new=cfg.new_mp_cap,
+                                   lap1=mt._lap(cfg, pair[0]),
+                                   lap2=mt._lap(cfg, pair[1]))
         # temporal points per camera band against recent KFs
         if cfg.temporal_refs > 0:
             refs = slot - 1 - jnp.arange(cfg.temporal_refs,
@@ -458,7 +470,9 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         for pair in cfg.stereo_pairs:
             m2, n = mt.stereo_spawn(m2, jnp.zeros((), jnp.int32),
                                     rig_kind, C, rig, pair,
-                                    cap_new=cfg.new_mp_cap)
+                                    cap_new=cfg.new_mp_cap,
+                                    lap1=mt._lap(cfg, pair[0]),
+                                    lap2=mt._lap(cfg, pair[1]))
             total = total + n
         m2 = ms.update_mp_geometry(m2, None)
         success = total >= cfg.min_rig_landmarks
@@ -742,6 +756,58 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
 
 
 _COMBINED_CACHE: dict = {}
+_CHUNK_CACHE: dict = {}
+
+
+def _make_chunked_step(rig: RigParams, cfg: VIStreamConfig, noise,
+                       dist, lc_key: tuple | None, chunk: int):
+    """lax.scan over `chunk` frames in ONE dispatch (tracking [+ device
+    LC] per frame, identical math to the per-frame step; a [chunk] valid
+    mask makes padded tail frames no-ops so partial flushes reuse the
+    same compiled program)."""
+    from . import streaming_lc
+
+    key_ = (cfg, rig.kind, dist is not None, lc_key, chunk)
+    cached = _CHUNK_CACHE.get(key_)
+    if cached is None:
+        inner = _make_step_inner(cfg, rig.kind, dist is not None)
+        lc_inner = (streaming_lc.make_lc_step(
+            cfg, rig.kind, cfg.n_cams, inertial=cfg.use_imu,
+            img_w=float(cfg.img_w), img_h=float(cfg.img_h),
+            **dict(lc_key)) if lc_key is not None else None)
+
+        @jax.jit
+        def chunked(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
+                    valid, rig, noise, dist):
+            with dev.host_trace():
+                def body(carry, xs):
+                    m, c, lcc = carry
+                    img, t, w, a, dts, v = xs
+
+                    def run(args):
+                        m, c, lcc = args
+                        m, c = inner(m, c, img, t, w, a, dts, rig,
+                                     noise, dist)
+                        if lc_inner is not None:
+                            m, c, lcc = lc_inner(m, c, lcc, rig)
+                        return m, c, lcc
+
+                    carry = jax.lax.cond(v, run, lambda x: x,
+                                         (m, c, lcc))
+                    return carry, None
+
+                (m, c, lcc), _ = jax.lax.scan(
+                    body, (m, c, lcc),
+                    (images, time, imu_w, imu_a, imu_dt, valid))
+                return m, c, lcc
+
+        _CHUNK_CACHE[key_] = chunked
+        cached = chunked
+    if dist is None:
+        return lambda m, c, lcc, imgs, t, w, a, dts, v: cached(
+            m, c, lcc, imgs, t, w, a, dts, v, rig, noise, 0.0)
+    return lambda m, c, lcc, imgs, t, w, a, dts, v: cached(
+        m, c, lcc, imgs, t, w, a, dts, v, rig, noise, dist)
 
 
 def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
@@ -816,20 +882,27 @@ class StreamingVITracker:
         # zero host syncs, unlike the host-policy `loop_closer` path.
         self._lc_step = None
         self.lc_carry = None
+        lc_key = None
         if device_lc:
             from . import streaming_lc
             lc_kw = device_lc if isinstance(device_lc, dict) else {}
+            lc_key = tuple(sorted(lc_kw.items()))
             # the tracking step and the LC step are FUSED into one jitted
             # program: every dispatch through the tunneled transport
             # carries ~20 ms of fixed overhead, so two programs per frame
             # cost ~20 ms/frame more than one
             self._step = _make_combined_step(
-                self.rig, cfg, self.noise, dist, tuple(
-                    sorted(lc_kw.items())))
+                self.rig, cfg, self.noise, dist, lc_key)
             self._lc_step = True
             with dev.host_trace():
                 self.lc_carry = streaming_lc.init_lc_carry()
             self.lc_carry = dev.commit(self.lc_carry)
+        # frame-chunked dispatch: scan `chunk` frames per device program
+        self._chunk = max(1, int(cfg.frames_per_dispatch))
+        self._buf: list = []
+        if self._chunk > 1:
+            self._chunk_step = _make_chunked_step(
+                self.rig, cfg, self.noise, dist, lc_key, self._chunk)
 
     def _imu_arrays(self, samples, t_now: float):
         """Pad host IMU samples into fixed [S,3]/[S,3]/[S] buffers covering
@@ -858,6 +931,13 @@ class StreamingVITracker:
     def push(self, images, time: float, imu_samples=()):
         """images: [C,H,W] float32; imu_samples: iterable of (w, a, t)."""
         w, a, dt = self._imu_arrays(list(imu_samples), time)
+        if self._chunk > 1:
+            self._buf.append((np.asarray(images), time, w, a, dt))
+            self._t_prev = time
+            self._snap = None
+            if len(self._buf) == self._chunk:
+                self._flush()
+            return
         # host_trace: the first call traces the whole step — all trace-time
         # constants must be host-backed (zero d2h through the tunnel);
         # the program itself dispatches to the TPU because map/carry are
@@ -876,7 +956,35 @@ class StreamingVITracker:
         self._t_prev = time
         self._snap = None
 
+    def _flush(self):
+        """Dispatch the buffered frame chunk (padded + masked if partial)
+        as one scanned device program."""
+        if not self._buf:
+            return
+        N = self._chunk
+        n = len(self._buf)
+        imgs0, _, w0, a0, d0 = self._buf[0]
+        imgs = np.zeros((N,) + imgs0.shape, imgs0.dtype)
+        times = np.zeros((N,), np.float32)
+        ws = np.zeros((N,) + w0.shape, np.float32)
+        as_ = np.zeros((N,) + a0.shape, np.float32)
+        dts = np.zeros((N,) + d0.shape, np.float32)
+        valid = np.zeros((N,), bool)
+        for i, (im, t, w, a, d) in enumerate(self._buf):
+            imgs[i], times[i], ws[i], as_[i], dts[i] = im, t, w, a, d
+            valid[i] = True
+        self._buf = []
+        with dev.host_trace():
+            lcc = (self.lc_carry if self.lc_carry is not None
+                   else jnp.zeros(()))
+            self.map, self.carry, lcc = self._chunk_step(
+                self.map, self.carry, lcc, dev.commit(imgs),
+                times, ws, as_, dts, valid)
+            if self.lc_carry is not None:
+                self.lc_carry = lcc
+
     def block(self):
+        self._flush()
         jax.block_until_ready(self.carry.p)
 
     def maybe_close_loop(self) -> bool:
@@ -891,6 +999,7 @@ class StreamingVITracker:
         """
         if self.loop_closer is None:
             return False
+        self._flush()
         slot = int(self.snapshot()["n_kf"]) - 1
         if slot < 1 or slot == self._last_lc_slot:
             return False
@@ -922,6 +1031,7 @@ class StreamingVITracker:
         push()."""
         if getattr(self, "_snap", None) is not None:
             return self._snap
+        self._flush()
         tr = self.carry.traj
         fields = dict(
             time=tr.time, ref=tr.ref, R_rel=tr.R_rel, t_rel=tr.t_rel,
@@ -932,6 +1042,7 @@ class StreamingVITracker:
             viba_stage=self.carry.viba_stage)
         if self.lc_carry is not None:
             fields["n_loops"] = self.lc_carry.n_loops
+            fields["gba_left"] = self.lc_carry.gba_left
         snap = self._packer.fetch(fields)
         self._snap = snap
         return snap

@@ -66,11 +66,14 @@ class System:
             default_pairs = ((0, 1),) if n_cams >= 2 else ()
             if sensor == Sensor.IMU_MONOCULAR:
                 default_pairs = ()
+            lap = s.get("lapping")
             cfg = multi_tracking.MultiTrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 n_cams=n_cams,
                 stereo_pairs=tuple(overrides.pop(
                     "stereo_pairs", default_pairs)),
+                lapping=(tuple(map(tuple, lap.tolist()))
+                         if lap is not None else ()),
                 orb=s["orb"], use_imu=inertial,
                 imu_freq=s["imu_frequency"],
                 **overrides)

@@ -546,8 +546,9 @@ def _writeback_gba(m: ms.MapState, state, inlier, chi, observed,
     return m
 
 
-@partial(jax.jit, static_argnames=("rig_kind",))
-def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
+@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters"))
+def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams,
+                   stages=(5, 8), cg_iters: int = 32):
     """Whole-map bundle adjustment via the matrix-free Schur+PCG path.
 
     (reference: LoopClosing::RunGlobalBundleAdjustment ->
@@ -564,7 +565,7 @@ def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams):
     fixed = (jnp.arange(K) < 2) | ~m.kf_valid
     state, inlier, chi = global_ba.global_bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~observed,
-        stages=(5, 8), cg_iters=32)
+        stages=stages, cg_iters=cg_iters)
     m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
                        obs.valid, with_imu=False)
     return m, chi
@@ -603,9 +604,10 @@ def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
     return m, chi
 
 
-@partial(jax.jit, static_argnames=("rig_kind",))
+@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters"))
 def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
-                            rig_kind: int, rig: RigParams):
+                            rig_kind: int, rig: RigParams,
+                            stages=(4, 6), cg_iters: int = 16):
     """Whole-map VISUAL-INERTIAL bundle adjustment: the reference's
     FullInertialBA as invoked by the post-loop GBA thread (reference:
     src/LoopClosing.cc:2366-2368 -> Optimizer::FullInertialBA
@@ -634,7 +636,7 @@ def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
     # matrix-free matvec is latency-bound, so CG depth is the cost
     state, inlier, chi = global_ba.global_bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~observed, edges=edges,
-        stages=(4, 6), cg_iters=16)
+        stages=stages, cg_iters=cg_iters)
     m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
                        obs.valid, with_imu=True)
     return m, chi

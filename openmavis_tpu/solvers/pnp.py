@@ -1,14 +1,26 @@
-"""Batched RANSAC PnP for relocalization.
+"""Batched RANSAC PnP for relocalization — MLPnP nullspace formulation.
 
 TPU-native equivalent of the reference's MLPnPsolver (reference:
-src/MLPnPsolver.cpp, used only by Tracking::Relocalization,
-src/Tracking.cc:3564-3593): hypotheses are a batch axis; each hypothesis is
-a 6-point DLT camera-resection (linear, batched eigendecomposition), scored
-by bearing-space reprojection against all correspondences; the winner is
-refined by the motion-only LM pose optimizer downstream.
+src/MLPnPsolver.cpp:15, Urban et al. "MLPnP", used only by
+Tracking::Relocalization, src/Tracking.cc:3564-3593): hypotheses are a
+batch axis; each hypothesis is a 6+ point linear resection built from the
+**nullspace constraints of each bearing** (r_i^T (R p_i + t) = 0 and
+s_i^T (R p_i + t) = 0, where [r_i, s_i] is an orthonormal basis of the
+bearing's tangent plane — the defining construction of MLPnP), scored by
+bearing-space reprojection against all correspondences, with
+maximum-likelihood per-point covariance weighting in the LO refit. The
+winner is refined by the motion-only LM pose optimizer downstream.
 
-Works on bearing vectors, so it covers pinhole and fisheye alike (the same
-property MLPnP is chosen for in the reference).
+Why nullspace rows and not cross-product rows: the classical DLT
+constraint `bearing x (R p + t) = 0` has row magnitudes proportional to
+the bearing's axis components, so strongly off-axis bearings (fisheye
+edges, exactly where relocalization must work on the flagship KB8 rig)
+contribute ill-scaled, near-rank-1 rows. The tangent-basis rows are
+orthonormal for EVERY bearing direction — uniformly conditioned over the
+full sphere.
+
+Works on bearing vectors, so it covers pinhole and fisheye alike (the
+same property MLPnP is chosen for in the reference).
 """
 
 from __future__ import annotations
@@ -21,24 +33,49 @@ import jax.numpy as jnp
 from ..geometry import lie
 
 
-def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray, w=None):
+def bearing_nullspace(bearing: jnp.ndarray):
+    """Orthonormal tangent basis (r, s) of each unit bearing [..., 3]
+    (MLPnP's per-observation nullspace J = null(v^T),
+    src/MLPnPsolver.cpp:15). Branchless seed-axis selection keeps the
+    basis well-defined for every direction."""
+    v = bearing
+    near_z = jnp.abs(v[..., 2]) > 0.9
+    seed = jnp.where(near_z[..., None],
+                     jnp.asarray([1.0, 0.0, 0.0], v.dtype),
+                     jnp.asarray([0.0, 0.0, 1.0], v.dtype))
+    r = jnp.cross(v, seed)
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-9)
+    s = jnp.cross(v, r)
+    return r, s
+
+
+def _dlt_pose(p_w: jnp.ndarray, bearing: jnp.ndarray, w=None,
+              formulation: str = "nullspace"):
     """Linear 6+ point resection, batched over hypotheses.
 
     p_w: [..., P, 3] world points; bearing: [..., P, 3] unit bearings in the
-    camera frame. Solves for P = [R|t] (camera-from-world) up to scale via
-    bearing x (R p + t) = 0 (two independent rows per point).
+    camera frame. Solves for P = [R|t] (camera-from-world) up to scale.
+    `formulation`: "nullspace" (MLPnP tangent-basis rows, uniformly
+    conditioned over the sphere — the default) or "cross" (classical
+    cross-product DLT rows; kept for comparison/tests).
     `w` ([..., P], optional) weights each point's constraint rows — used by
     the LO-RANSAC refit to solve over an inlier subset without gathers.
     Returns (R [...,3,3], t [...,3]).
     """
-    x, y, z = bearing[..., 0], bearing[..., 1], bearing[..., 2]
     pw_h = jnp.concatenate([p_w, jnp.ones_like(p_w[..., :1])], axis=-1)
-    zero = jnp.zeros_like(pw_h)
-    # rows of the cross-product constraint (use the two best-conditioned)
-    r1 = jnp.concatenate([zero, -z[..., None] * pw_h, y[..., None] * pw_h],
-                         axis=-1)                     # [..., P, 12]
-    r2 = jnp.concatenate([z[..., None] * pw_h, zero, -x[..., None] * pw_h],
-                         axis=-1)
+    if formulation == "nullspace":
+        rb, sb = bearing_nullspace(bearing)
+        r1 = jnp.concatenate([rb[..., 0:1] * pw_h, rb[..., 1:2] * pw_h,
+                              rb[..., 2:3] * pw_h], axis=-1)  # [...,P,12]
+        r2 = jnp.concatenate([sb[..., 0:1] * pw_h, sb[..., 1:2] * pw_h,
+                              sb[..., 2:3] * pw_h], axis=-1)
+    else:
+        x, y, z = bearing[..., 0], bearing[..., 1], bearing[..., 2]
+        zero = jnp.zeros_like(pw_h)
+        r1 = jnp.concatenate(
+            [zero, -z[..., None] * pw_h, y[..., None] * pw_h], axis=-1)
+        r2 = jnp.concatenate(
+            [z[..., None] * pw_h, zero, -x[..., None] * pw_h], axis=-1)
     if w is not None:
         r1 = r1 * w[..., None]
         r2 = r2 * w[..., None]
@@ -98,7 +135,7 @@ def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
                valid: jnp.ndarray, n_hyp: int = 512,
                sample_size: int = 6, cos_th: float = 0.9998,
                min_inliers: int = 12, lo_rounds: int = 2,
-               sigma2=None) -> PnPResult:
+               sigma2=None, formulation: str = "nullspace") -> PnPResult:
     """LO-RANSAC resection from 3D-point <-> bearing matches.
 
     Args:
@@ -131,7 +168,7 @@ def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
     logits = jnp.where(valid, 0.0, -1e9)
     idx = jax.random.categorical(key, logits[None, None, :],
                                  shape=(n_hyp, sample_size))
-    R, t = _dlt_pose(p_w[idx], bearing[idx])
+    R, t = _dlt_pose(p_w[idx], bearing[idx], formulation=formulation)
 
     inl, n_inl = _gate(R, t, p_w, bearing, valid[None, :], cos_th)
     # invalidate hypotheses drawn from invalid samples
@@ -145,7 +182,7 @@ def ransac_pnp(key, p_w: jnp.ndarray, bearing: jnp.ndarray,
         w = inl_b.astype(p_w.dtype)
         if ml_w is not None:
             w = w * ml_w
-        R_r, t_r = _dlt_pose(p_w, bearing, w=w)
+        R_r, t_r = _dlt_pose(p_w, bearing, w=w, formulation=formulation)
         inl_r, n_r = _gate(R_r, t_r, p_w, bearing, valid, cos_th)
         # >=: at equal support the all-inlier (whitened) refit dominates
         # a 6-point minimal sample

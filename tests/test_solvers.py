@@ -248,3 +248,83 @@ def test_pnp_ml_weighting_downweights_coarse_levels():
         errs_u.append(rot_err(ru.R_cw))
         errs_w.append(rot_err(rw.R_cw))
     assert np.mean(errs_w) <= np.mean(errs_u) + 1e-6, (errs_u, errs_w)
+
+
+class TestMLPnPNullspace:
+    """MLPnP tangent-basis rows vs classical cross-product DLT rows at
+    strong off-axis bearings (reference: MLPnPsolver.cpp:15, Urban et
+    al. — the formulation chosen exactly for fisheye-edge robustness)."""
+
+    def _offaxis_scene(self, noise=0.002, seed=0):
+        import numpy as np
+        from openmavis_tpu.geometry import lie as lie_mod
+        rng = np.random.default_rng(seed)
+        N = 60
+        # bearings 75-88 deg off the optical axis (KB8 fisheye edge)
+        theta = rng.uniform(np.deg2rad(75), np.deg2rad(88), N)
+        phi = rng.uniform(0, 2 * np.pi, N)
+        b = np.stack([np.sin(theta) * np.cos(phi),
+                      np.sin(theta) * np.sin(phi),
+                      np.cos(theta)], axis=-1)
+        depth = rng.uniform(2.0, 12.0, N)
+        p_c = b * depth[:, None]
+        R_gt = np.asarray(lie_mod.so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+        t_gt = np.array([0.4, -0.3, 1.2])
+        # world points: p_c = R_gt p_w + t_gt
+        p_w = (R_gt.T @ (p_c - t_gt).T).T
+        b_noisy = b + rng.normal(0, noise, b.shape)
+        b_noisy /= np.linalg.norm(b_noisy, axis=-1, keepdims=True)
+        return (jnp.asarray(p_w, jnp.float32),
+                jnp.asarray(b_noisy, jnp.float32), R_gt, t_gt)
+
+    def _err(self, res, R_gt, t_gt):
+        import numpy as np
+        dR = np.asarray(res.R_cw) @ R_gt.T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        return ang, np.linalg.norm(np.asarray(res.t_cw) - t_gt)
+
+    def test_offaxis_accuracy(self):
+        from openmavis_tpu.solvers import pnp
+        p_w, b, R_gt, t_gt = self._offaxis_scene()
+        key = jax.random.PRNGKey(0)
+        valid = jnp.ones(p_w.shape[0], bool)
+        res = pnp.ransac_pnp(key, p_w, b, valid, cos_th=0.99985)
+        assert bool(res.success)
+        ang, dt = self._err(res, R_gt, t_gt)
+        assert ang < 0.01, ang          # < 0.6 deg
+        assert dt < 0.05, dt
+
+    def test_nullspace_beats_cross_formulation(self):
+        """Across seeds, the nullspace rows must dominate the classical
+        cross-product rows at fisheye-edge bearings."""
+        import numpy as np
+        from openmavis_tpu.solvers import pnp
+        wins, total = 0, 0
+        for seed in range(6):
+            p_w, b, R_gt, t_gt = self._offaxis_scene(noise=0.004,
+                                                     seed=seed)
+            valid = jnp.ones(p_w.shape[0], bool)
+            key = jax.random.PRNGKey(seed)
+            e_ns = self._err(pnp.ransac_pnp(
+                key, p_w, b, valid, cos_th=0.9997,
+                formulation="nullspace"), R_gt, t_gt)
+            e_cx = self._err(pnp.ransac_pnp(
+                key, p_w, b, valid, cos_th=0.9997,
+                formulation="cross"), R_gt, t_gt)
+            total += 1
+            wins += (e_ns[0] + e_ns[1]) <= (e_cx[0] + e_cx[1]) + 1e-6
+        assert wins >= total - 1, (wins, total)
+
+    def test_nullspace_basis_orthonormal(self):
+        import numpy as np
+        from openmavis_tpu.solvers import pnp
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=(500, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        r, s = pnp.bearing_nullspace(jnp.asarray(v, jnp.float32))
+        r, s = np.asarray(r), np.asarray(s)
+        np.testing.assert_allclose(np.sum(r * v, -1), 0, atol=1e-5)
+        np.testing.assert_allclose(np.sum(s * v, -1), 0, atol=1e-5)
+        np.testing.assert_allclose(np.sum(r * s, -1), 0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(r, axis=-1), 1,
+                                   atol=1e-5)

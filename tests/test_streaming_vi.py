@@ -171,3 +171,96 @@ def test_device_lc_closes_loop():
     # roughly in half. (Absolute bound, not a paired run, to keep the
     # test's runtime at one stream.)
     assert res["rmse_noscale"] < 1.8, res
+
+
+KB8 = np.array([330.0, 330.0, W / 2, H / 2,
+                -0.043, 0.003, -0.0037, 0.0008], np.float32)
+
+
+def kb8_stereo_rig():
+    """Hilti-like KannalaBrandt8 front stereo pair (reference rig:
+    HiltiChallenge2022.yaml Camera1/Camera2 + Stereo.T_c1_c2)."""
+    R_cb = jnp.stack([jnp.eye(3), jnp.eye(3)])
+    t_cb = jnp.asarray([[BASELINE / 2, 0, 0], [-BASELINE / 2, 0, 0]],
+                       dtype=jnp.float32)
+    return RigParams(kind=cameras.KB8,
+                     params=jnp.stack([jnp.asarray(KB8)] * 2),
+                     R_cb=R_cb, t_cb=t_cb)
+
+
+@pytest.mark.slow
+def test_kb8_fisheye_stereo_vi():
+    """The flagship pipeline on a KannalaBrandt8 FISHEYE rig with lapping
+    areas (reference: the Hilti flagship is 4x KB8 fisheye —
+    Frame::ComputeMultiFishEyeMatches src/Frame.cc:1461-1527,
+    KannalaBrandt8::TriangulateMatches KannalaBrandt8.h:86-96).
+    The KB8 projection/unprojection/Jacobian path must carry the full VI
+    pipeline — rig init, tracking, staged IMU init — not just unit tests.
+    """
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    n_frames = 40
+    R_wb, t_wb = synthetic.orbit_trajectory(n_frames, radius=6.0,
+                                            frac=0.25)
+    rig = kb8_stereo_rig()
+    frames = []
+    for c in range(2):
+        R_bc = np.asarray(rig.R_cb[c]).T
+        c_b = -np.asarray(rig.R_cb[c]).T @ np.asarray(rig.t_cb[c])
+        frames.append(synthetic.render_sequence(
+            world, cameras.KB8, KB8, R_wb @ R_bc,
+            t_wb + np.einsum("tij,j->ti", R_wb, c_b), W, H))
+    frames = np.stack(frames, axis=1)
+    imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT, rate_mult=10)
+
+    cfg = streaming_vi.VIStreamConfig(
+        img_w=W, img_h=H, n_cams=2, stereo_pairs=((0, 1),),
+        # partial overlap: only the central lapping columns are stereo
+        # candidates (mvLappingArea semantics)
+        lapping=((W // 8, W - 1), (0, W - W // 8)),
+        orb=extractor.OrbConfig(n_features=384, n_levels=3),
+        max_kf=32, max_mp=8192, traj_cap=64, imu_per_frame=16,
+        ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.25,
+        temporal_refs=1, imu_freq=200.0)
+    tracker = streaming_vi.StreamingVITracker(rig, cfg, seed=0)
+    drive(tracker, frames, imu)
+
+    assert tracker.imu_initialized
+    t_est, _, p_est = tracker.get_trajectory()
+    ok = np.asarray(tracker.carry.traj.ok[:len(t_est)])
+    assert ok.sum() >= n_frames - 5, int(ok.sum())
+    t_gt = np.arange(n_frames) * DT
+    res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
+                              with_scale=True)
+    # metric scale must come from the KB8-triangulated rig baseline
+    assert abs(res["scale"] - 1.0) < 0.15, res
+    assert res["rmse"] < 0.4, res
+
+
+@pytest.mark.slow
+def test_chunked_dispatch_matches_per_frame(sequence):
+    """frames_per_dispatch>1 (lax.scan over a frame chunk, one dispatch)
+    must reproduce the per-frame path — same keyframes, same trajectory
+    (the scan body IS the per-frame step; only data movement changes)."""
+    frames, R_wb, t_wb, imu = sequence
+    base = dict(
+        img_w=W, img_h=H, n_cams=2, stereo_pairs=((0, 1),),
+        orb=extractor.OrbConfig(n_features=256, n_levels=3),
+        max_kf=16, max_mp=4096, traj_cap=64, imu_per_frame=16,
+        ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.2,
+        temporal_refs=1, imu_freq=200.0)
+    tr1 = streaming_vi.StreamingVITracker(
+        stereo_rig(), streaming_vi.VIStreamConfig(**base), seed=0)
+    drive(tr1, frames, imu)
+    # chunk=4 with 30 frames -> 7 full chunks + a masked partial flush
+    trc = streaming_vi.StreamingVITracker(
+        stereo_rig(),
+        streaming_vi.VIStreamConfig(**base, frames_per_dispatch=4),
+        seed=0)
+    drive(trc, frames, imu)
+
+    s1, sc = tr1.snapshot(), trc.snapshot()
+    assert int(s1["n_kf"]) == int(sc["n_kf"])
+    t1, _, p1 = tr1.get_trajectory()
+    t2, _, p2 = trc.get_trajectory()
+    assert len(t1) == len(t2)
+    np.testing.assert_allclose(p1, p2, atol=5e-3)
