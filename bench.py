@@ -21,6 +21,7 @@ vs_baseline is against the reference's real-time operating point of 30 fps
 Examples/Multi-Inertial/multi_inertial_euroc.cc:193-202).
 """
 
+import argparse
 import json
 import time
 
@@ -33,13 +34,25 @@ N_FRAMES = 160     # 1.25 orbits: the trajectory self-intersects so the
 BASELINE_M = 0.2
 
 
-def build_rig():
+def build_rig(kind_name: str = "pinhole"):
     """4-camera rig: front stereo pair + left/right side cameras
-    (the Hilti-2022 flagship layout minus the up camera)."""
+    (the Hilti-2022 flagship layout minus the up camera).
+
+    kind_name="kb8" swaps every camera to KannalaBrandt8 fisheye with
+    Hilti-like intrinsics (the flagship rig is 4x KB8 fisheye;
+    reference: Examples/Multi-Inertial/HiltiChallenge2022.yaml camera
+    models + KannalaBrandt8.h:86-96)."""
     from openmavis_tpu.geometry import cameras
     from openmavis_tpu.optim.reprojection import RigParams
 
-    pin = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
+    if kind_name == "kb8":
+        pin = np.array([352.0, 352.0, W / 2, H / 2,
+                        -0.0398, 0.0083, -0.0062, 0.0010], np.float32)
+        kind = cameras.KB8
+    else:
+        pin = np.array([380.0, 380.0, W / 2, H / 2, 0, 0, 0, 0],
+                       np.float32)
+        kind = cameras.PINHOLE
 
     def yaw(a):
         c, s = np.cos(a), np.sin(a)
@@ -55,14 +68,12 @@ def build_rig():
     params = np.stack([pin] * 4)
     # numpy leaves: the tracker commits the rig to the device in one h2d;
     # the renderer reads the same host copies with zero device traffic
-    rig = RigParams(kind=cameras.PINHOLE, params=params,
-                    R_cb=R_cb, t_cb=t_cb)
-    rig_np = dict(params=params, R_cb=R_cb, t_cb=t_cb)
+    rig = RigParams(kind=kind, params=params, R_cb=R_cb, t_cb=t_cb)
+    rig_np = dict(kind=kind, params=params, R_cb=R_cb, t_cb=t_cb)
     return rig, rig_np
 
 
 def render_rig_sequence(rig_np, R_wb, t_wb):
-    from openmavis_tpu.geometry import cameras
     from openmavis_tpu.io import synthetic
 
     world = synthetic.BlobWorld.create(seed=3, n=4000)
@@ -73,12 +84,32 @@ def render_rig_sequence(rig_np, R_wb, t_wb):
         R_wc = R_wb @ R_cb.T
         t_wc = t_wb + np.einsum("tij,j->ti", R_wb, c_b)
         frames.append(synthetic.render_sequence(
-            world, cameras.PINHOLE, rig_np["params"][c],
+            world, rig_np["kind"], rig_np["params"][c],
             R_wc, t_wc, W, H))
     return np.stack(frames, axis=1).astype(np.float32)  # [T, C, H, W]
 
 
-def main():
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=N_FRAMES)
+    p.add_argument("--orbit-frac", type=float, default=1.25)
+    p.add_argument("--kind", choices=["pinhole", "kb8"],
+                   default="pinhole")
+    p.add_argument("--max-kf", type=int, default=256)
+    p.add_argument("--max-mp", type=int, default=32768)
+    p.add_argument("--fpd", type=int, default=8,
+                   help="frames per device dispatch")
+    p.add_argument("--gba-steps", type=int, default=None,
+                   help="amortized post-loop GBA budget (None = default)")
+    p.add_argument("--score-min", type=int, default=30)
+    p.add_argument("--kf-interval", type=float, default=0.25)
+    p.add_argument("--no-lc", action="store_true")
+    p.add_argument("--no-microbench", action="store_true")
+    p.add_argument("--metric", default="multi_inertial_slam_fps")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
     import jax
     import jax.numpy as jnp
 
@@ -87,9 +118,12 @@ def main():
     from openmavis_tpu.io import evaluation, synthetic
     from openmavis_tpu.pipeline import multi_tracking, streaming_vi
 
-    rig, rig_np = build_rig()
-    R_wb, t_wb = synthetic.orbit_trajectory(N_FRAMES, radius=6.0,
-                                            frac=1.25)
+    args = parse_args(argv)
+    n_frames = args.frames
+
+    rig, rig_np = build_rig(args.kind)
+    R_wb, t_wb = synthetic.orbit_trajectory(n_frames, radius=6.0,
+                                            frac=args.orbit_frac)
     # uint8 upload: 4x less host->device traffic per frame; the streaming
     # step casts to f32 on device
     frames = np.clip(render_rig_sequence(rig_np, R_wb, t_wb), 0,
@@ -105,13 +139,15 @@ def main():
     cfg = streaming_vi.VIStreamConfig(
         img_w=W, img_h=H, n_cams=4, stereo_pairs=((0, 1),),
         orb=orb, imu_freq=400.0, imu_per_frame=32,
-        max_kf=64, max_mp=16384, traj_cap=192,
-        ba_window=8, imu_init_kfs=6, kf_max_interval_s=0.25,
+        max_kf=args.max_kf, max_mp=args.max_mp,
+        traj_cap=n_frames + 32,
+        ba_window=8, imu_init_kfs=6,
+        kf_max_interval_s=args.kf_interval,
         temporal_refs=2,
         # 8 frames per device dispatch: the ~20 ms fixed relay overhead
         # per dispatch amortizes to ~2.5 ms/frame (PERF.md transport
         # model); the scan body is the identical per-frame step
-        frames_per_dispatch=8,
+        frames_per_dispatch=args.fpd,
         # local-map tracking (reference: TrackLocalMap's covisible window,
         # src/Tracking.cc:3396): matching against the WHOLE map would hide
         # drift by continuously re-binding revisited landmarks — realistic
@@ -125,7 +161,7 @@ def main():
         imu_iter = iter(imu)
         pending = next(imu_iter, None)
         out = []
-        for i in range(N_FRAMES):
+        for i in range(n_frames):
             t = i * dt
             b = []
             while pending is not None and pending[2] <= t + 1e-9:
@@ -135,6 +171,9 @@ def main():
         return out
 
     frame_imu = batches()
+    lc_kw = dict(score_min=args.score_min, temporal=2)
+    if args.gba_steps is not None:
+        lc_kw["gba_steps"] = args.gba_steps
 
     def run():
         # device-side loop closing (pipeline/streaming_lc.py) runs inside
@@ -143,8 +182,8 @@ def main():
         # src/LoopClosing.cc:98), not drift-only odometry
         tr = streaming_vi.StreamingVITracker(
             rig, cfg, noise, seed=0,
-            device_lc=dict(sub=8, score_min=30, temporal=2))
-        for i in range(N_FRAMES):
+            device_lc=False if args.no_lc else lc_kw)
+        for i in range(n_frames):
             t, b = frame_imu[i]
             tr.push(frames[i], t, b)
         tr.block()
@@ -154,13 +193,13 @@ def main():
     t0 = time.perf_counter()
     tr = run()                 # pass 2: timed, streaming
     elapsed = time.perf_counter() - t0
-    fps = N_FRAMES / elapsed
+    fps = n_frames / elapsed
 
     # accuracy + counters: ONE packed d2h fetch AFTER timing
     snap = tr.snapshot()
     t_est, _, p_est = tr.get_trajectory()
     ok = snap["ok"][:len(t_est)]
-    t_gt = np.arange(N_FRAMES) * dt
+    t_gt = np.arange(n_frames) * dt
     res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
                               with_scale=True)
     path_len = float(np.linalg.norm(np.diff(t_wb, axis=0),
@@ -169,46 +208,49 @@ def main():
     # -- stage microbench (VERDICT r1 #9: publish where the ms go) --------
     from openmavis_tpu.utils import device as dev
 
-    def timeit(f, *args, reps=20):
+    def timeit(f, *fargs, reps=20):
         with dev.host_trace():
-            out = f(*args)
+            out = f(*fargs)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = f(*args)
+                out = f(*fargs)
             jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    img_dev = dev.commit(frames[-1].astype(np.float32))
-    ext_jit = jax.jit(lambda im: extractor.extract_multicam(im, orb))
-    extract_ms = timeit(ext_jit, img_dev)
+    stage_ms = {}
+    if not args.no_microbench:
+        img_dev = dev.commit(frames[-1].astype(np.float32))
+        ext_jit = jax.jit(lambda im: extractor.extract_multicam(im, orb))
+        stage_ms["extract_4cam_8lvl"] = round(timeit(ext_jit, img_dev), 2)
 
-    from openmavis_tpu.optim import pose_opt
-    with dev.host_trace():
-        feats = ext_jit(img_dev)
-        bank = multi_tracking.concat_bands(feats)
-    c = tr.carry
-    anchor = pose_opt.InertialState(R=c.R, p=c.p, v=c.v, bg=c.bg,
-                                    ba=c.ba)
-    with dev.host_trace():
-        pre_f = pre_mod.init_preintegrated(
-            jnp.concatenate([c.bg, c.ba]))
+        from openmavis_tpu.optim import pose_opt
+        with dev.host_trace():
+            feats = ext_jit(img_dev)
+            bank = multi_tracking.concat_bands(feats)
+        c = tr.carry
+        anchor = pose_opt.InertialState(R=c.R, p=c.p, v=c.v, bg=c.bg,
+                                        ba=c.ba)
+        with dev.host_trace():
+            pre_f = pre_mod.init_preintegrated(
+                jnp.concatenate([c.bg, c.ba]))
 
-    track_jit = jax.jit(
-        lambda m, bank, anchor, pre_f, rig:
-        multi_tracking.track_step_multi_vi(
-            m, bank, anchor, anchor, pre_f, rig.kind, 4, rig,
-            float(W), float(H), cfg.match_radius, -1))
-    track_ms = timeit(track_jit, tr.map, bank, anchor, pre_f, tr.rig)
+        track_jit = jax.jit(
+            lambda m, bank, anchor, pre_f, rig:
+            multi_tracking.track_step_multi_vi(
+                m, bank, anchor, anchor, pre_f, rig.kind, 4, rig,
+                float(W), float(H), cfg.match_radius, -1))
+        stage_ms["track_vi_pose_opt"] = round(
+            timeit(track_jit, tr.map, bank, anchor, pre_f, tr.rig), 2)
 
     print(json.dumps({
-        "metric": "multi_inertial_slam_fps",
+        "metric": args.metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "extra": {
-            "budget": "4 cams x 512 feats x 8 levels + 400 Hz IMU, "
-                      f"{W}x{H}",
+            "budget": f"4 cams ({args.kind}) x 512 feats x 8 levels + "
+                      f"400 Hz IMU, {W}x{H}",
             "ate_rmse_m": round(float(res["rmse"]), 4),
             "ate_rmse_noscale_m": round(float(res["rmse_noscale"]), 4),
             "horn_scale": round(float(res["scale"]), 4),
@@ -219,11 +261,8 @@ def main():
             "imu_initialized": bool(snap["imu_ok"]),
             "viba_stage": int(snap["viba_stage"]),
             "loop_closures": int(snap.get("n_loops", 0)),
-            "mean_frame_ms": round(elapsed / N_FRAMES * 1e3, 2),
-            "stage_ms": {
-                "extract_4cam_8lvl": round(extract_ms, 2),
-                "track_vi_pose_opt": round(track_ms, 2),
-            },
+            "mean_frame_ms": round(elapsed / n_frames * 1e3, 2),
+            "stage_ms": stage_ms,
         },
     }))
 

@@ -35,6 +35,17 @@ def main():
                     help="keyframe slab capacity")
     ap.add_argument("--max-mp", type=int, default=16384,
                     help="landmark slab capacity")
+    ap.add_argument("--depth-dirs", default=None,
+                    help="comma-separated per-camera depth-map dirs "
+                         "(reference: the Abs_Depth_undistorted dirs of "
+                         "multi_inertial_euroc.cc:55-58; 16-bit PNGs, "
+                         "--depth-png-scale units/m, same filenames as "
+                         "the camera frames)")
+    ap.add_argument("--depth-png-scale", type=float, default=256.0)
+    ap.add_argument("--depth-pin", default=None,
+                    help="fx,fy,cx,cy of the virtual pinhole the depth "
+                         "maps live in (fisheye rigs; default: raw "
+                         "camera frame)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -90,12 +101,37 @@ def main():
         freq = 200.0
 
     C = len(cams)
+    depth_dirs = (args.depth_dirs.split(",") if args.depth_dirs
+                  else None)
+    if depth_dirs is not None and len(depth_dirs) != C:
+        sys.exit("--depth-dirs must name one directory per camera")
+    depth_pin = ()
+    if args.depth_pin:
+        pp = tuple(float(x) for x in args.depth_pin.split(","))
+        depth_pin = tuple([pp] * C)
+
+    def load_depths(i):
+        """[C, H, W] per-camera metric z-depth for frame i (0 = hole;
+        missing file = all holes, matching the reference's zeros
+        fallback, multi_inertial_euroc.cc:133-140)."""
+        import os
+        from PIL import Image
+        out = np.zeros((C, H, W), np.float32)
+        for c, d in enumerate(depth_dirs):
+            p = os.path.join(d, seq.cam_files[c][i])
+            if os.path.exists(p):
+                with Image.open(p) as im:
+                    out[c] = (np.asarray(im, np.float32)
+                              / args.depth_png_scale)
+        return out
+
     vcfg = streaming_vi.VIStreamConfig(
         img_w=W, img_h=H, n_cams=C,
         stereo_pairs=((0, 1),) if C >= 2 else (),
         lapping=lapping if args.settings else (),
         orb=orb, imu_freq=freq,
         imu_per_frame=max(32, int(2 * freq / 20)),
+        use_depth=depth_dirs is not None, depth_pin=depth_pin,
         max_kf=args.max_kf, max_mp=args.max_mp, traj_cap=max(n, 128))
     lc = (loop_closing.LoopCloser(
         None, vcfg.max_kf, rig=rig, inertial=True, img_w=W, img_h=H)
@@ -110,7 +146,8 @@ def main():
         imu = (seq.imu_between(t_prev, t) if t_prev is not None
                else np.zeros((0, 7)))
         samples = [(r[1:4], r[4:7], r[0]) for r in imu]
-        tr.push(seq.frame(i), t, samples)
+        tr.push(seq.frame(i), t, samples,
+                depth=load_depths(i) if depth_dirs else None)
         t_prev = t
         if args.lc_every > 0 and i and i % args.lc_every == 0:
             tr.maybe_close_loop()

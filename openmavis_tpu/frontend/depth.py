@@ -105,37 +105,12 @@ def depth_to_uright(xy: jnp.ndarray, d: jnp.ndarray, bf: float):
     return xy[:, 0] - bf / jnp.maximum(d, 1e-6)
 
 
-@partial(jax.jit, static_argnames=("cam_kind", "cap_new"))
-def spawn_from_depth(m: ms.MapState, slot, cam_kind: int, cam_params,
-                     R_cb, t_cb, d: jnp.ndarray, d_valid: jnp.ndarray,
-                     cap_new: int, max_spawn_depth: float = 25.0):
-    """Create landmarks for a keyframe's unbound features from measured
-    depth (no parallax needed).
-
-    (reference: Tracking::CreateNewKeyFrame's depth-sorted point creation
-    and StereoInitialization, src/Tracking.cc:2232-2337 — stereo/RGBD
-    points with depth below a threshold are inserted immediately.)
-
-    Args:
-      m: map; keyframe `slot` must already be inserted (kf_xy/kf_desc set).
-      cam_params / R_cb / t_cb: intrinsics + extrinsic of the camera the
-        features belong to (camera-from-body).
-      d: [F] z-depth per feature (camera frame); d_valid: [F] bool.
-    Returns (m, n_spawned).
-    """
-    F = m.kf_xy.shape[1]
+def _spawn_world_points(m: ms.MapState, slot, p_w: jnp.ndarray,
+                        good: jnp.ndarray, cap_new: int):
+    """Write up to `cap_new` new landmarks at world points `p_w` for
+    keyframe `slot`'s features flagged `good` (shared tail of the
+    depth-spawn entry points)."""
     M = m.mp_pos.shape[0]
-    xy = m.kf_xy[slot]
-    unbound = (m.kf_obs[slot] < 0) & m.kf_feat_valid[slot]
-    good = unbound & d_valid & (d > 0.05) & (d < max_spawn_depth)
-
-    p_c = backproject(cam_kind, cam_params, xy, d)
-    # world point: p_w = R_wb (R_cb^T (p_c - t_cb)) + t_wb
-    p_b = jnp.einsum("ji,fj->fi", R_cb, p_c - t_cb)
-    R_wb = m.kf_R[slot]
-    t_wb = m.kf_t[slot]
-    p_w = jnp.einsum("ij,fj->fi", R_wb, p_b) + t_wb
-
     order = jnp.cumsum(good.astype(jnp.int32)) - 1
     slot_mp = m.n_mp + order
     write = good & (order < cap_new) & (slot_mp < M)
@@ -156,3 +131,77 @@ def spawn_from_depth(m: ms.MapState, slot, cam_kind: int, cam_params,
         kf_obs=m.kf_obs.at[slot].set(
             jnp.where(write, slot_mp, m.kf_obs[slot])))
     return ms.update_mp_geometry(m, None), jnp.sum(write.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "cap_new"))
+def spawn_from_depth(m: ms.MapState, slot, cam_kind: int, cam_params,
+                     R_cb, t_cb, d: jnp.ndarray, d_valid: jnp.ndarray,
+                     cap_new: int, max_spawn_depth: float = 25.0):
+    """Create landmarks for a keyframe's unbound features from measured
+    depth (no parallax needed).
+
+    (reference: Tracking::CreateNewKeyFrame's depth-sorted point creation
+    and StereoInitialization, src/Tracking.cc:2232-2337 — stereo/RGBD
+    points with depth below a threshold are inserted immediately.)
+
+    Args:
+      m: map; keyframe `slot` must already be inserted (kf_xy/kf_desc set).
+      cam_params / R_cb / t_cb: intrinsics + extrinsic of the camera the
+        features belong to (camera-from-body).
+      d: [F] z-depth per feature (camera frame); d_valid: [F] bool.
+    Returns (m, n_spawned).
+    """
+    xy = m.kf_xy[slot]
+    unbound = (m.kf_obs[slot] < 0) & m.kf_feat_valid[slot]
+    good = unbound & d_valid & (d > 0.05) & (d < max_spawn_depth)
+
+    p_c = backproject(cam_kind, cam_params, xy, d)
+    # world point: p_w = R_wb (R_cb^T (p_c - t_cb)) + t_wb
+    p_b = jnp.einsum("ji,fj->fi", R_cb, p_c - t_cb)
+    p_w = jnp.einsum("ij,fj->fi", m.kf_R[slot], p_b) + m.kf_t[slot]
+    return _spawn_world_points(m, slot, p_w, good, cap_new)
+
+
+def spawn_from_depth_multi(m: ms.MapState, slot, rig_kind: int,
+                           n_cams: int, rig, depth: jnp.ndarray,
+                           pin_params=None, cap_new: int = 256,
+                           max_spawn_depth: float = 25.0):
+    """Depth-prior landmark spawning for the multi-camera pipeline: every
+    camera band's unbound features sample their camera's depth map and
+    spawn landmarks at measured metric depth.
+
+    (reference: the multi-camera depth-prior path,
+    Frame::GetDepthFromUndistortedPoints src/Frame.cc:1659-1765 sampled
+    into pseudo-stereo for all bands at Frame.cc:1916-1922.)
+
+    Args:
+      depth: [C, H, W] per-camera z-depth maps, 0 = hole.
+      pin_params: optional [C, >=4] virtual-pinhole intrinsics the depth
+        maps live in (required for fisheye rigs; None = the depth maps
+        are in the raw camera frame, valid for undistorted pinholes).
+    Returns (m, n_spawned).
+    """
+    F = m.kf_xy.shape[1]
+    xy = m.kf_xy[slot]
+    cam = m.kf_cam[slot]
+    d = jnp.zeros((F,))
+    ok = jnp.zeros((F,), bool)
+    p_b = jnp.zeros((F, 3))
+    for c in range(n_cams):
+        sel = cam == c
+        if pin_params is None:
+            dc, okc = sample_depth(depth[c], xy)
+        else:
+            dc, okc = sample_depth_undistorted(
+                depth[c], xy, rig_kind, rig.params[c],
+                jnp.asarray(pin_params[c]))
+        pc = backproject(rig_kind, rig.params[c], xy, dc)
+        pb = jnp.einsum("ji,fj->fi", rig.R_cb[c], pc - rig.t_cb[c])
+        d = jnp.where(sel, dc, d)
+        ok = jnp.where(sel, okc, ok)
+        p_b = jnp.where(sel[:, None], pb, p_b)
+
+    unbound = (m.kf_obs[slot] < 0) & m.kf_feat_valid[slot]
+    good = unbound & ok & (d > 0.05) & (d < max_spawn_depth)
+    p_w = jnp.einsum("ij,fj->fi", m.kf_R[slot], p_b) + m.kf_t[slot]
+    return _spawn_world_points(m, slot, p_w, good, cap_new)

@@ -154,17 +154,25 @@ def load_kitti(root: str, cams=("image_0",),
 
 @dataclass
 class RgbdSequence:
-    """Associated RGB + depth frame pairs (TUM RGB-D layout)."""
+    """Associated RGB + depth frame pairs (TUM RGB-D layout), plus an
+    optional 6-axis IMU stream for RGB-D-Inertial replays."""
     root: str
     rgb_files: list
     depth_files: list
     times: np.ndarray        # [T] seconds
     depth_scale: float       # depth_png / depth_scale = meters
+    imu: np.ndarray = None   # [N, 7]: t, wx, wy, wz, ax, ay, az
     _loader: object = None
 
     @property
     def n_frames(self):
         return len(self.times)
+
+    def imu_between(self, t0: float, t1: float) -> np.ndarray:
+        if self.imu is None or len(self.imu) == 0:
+            return np.zeros((0, 7), np.float64)
+        sel = (self.imu[:, 0] > t0) & (self.imu[:, 0] <= t1)
+        return self.imu[sel]
 
     def frame(self, i: int):
         """(gray [H, W] f32, depth_m [H, W] f32; 0 = no measurement)."""
@@ -222,7 +230,24 @@ def load_tum_rgbd(root: str, depth_scale: float = 5000.0,
             loader = native_loader.NativeDecoder()
         except Exception:
             loader = None
+    # optional 6-axis IMU for RGB-D-Inertial (reference main:
+    # Examples/RGB-D-Inertial/rgbd_inertial_realsense_D435i.cc — live
+    # gyro+accel; for dataset replay we read an imu.txt with
+    # "t wx wy wz ax ay az" lines)
+    imu = None
+    imu_path = os.path.join(root, "imu.txt")
+    if os.path.exists(imu_path):
+        rows = []
+        with open(imu_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                rows.append([float(x)
+                             for x in line.replace(",", " ").split()[:7]])
+        imu = np.asarray(rows, np.float64)
     return RgbdSequence(root=root, rgb_files=rgb_files,
                         depth_files=depth_files,
                         times=np.asarray(times),
-                        depth_scale=depth_scale, _loader=loader)
+                        depth_scale=depth_scale, imu=imu,
+                        _loader=loader)

@@ -13,6 +13,7 @@ import hashlib
 import json
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..slam_map import map_state as ms
@@ -37,6 +38,14 @@ def _from_fields(get, stored_fields) -> ms.MapState:
             "n_loop": jnp.zeros((), jnp.int32),
         }
         for f in missing:
+            if f == "kf_bow":
+                # signatures are a pure function of stored descriptors —
+                # rebuild rather than defaulting to zeros (a zero
+                # signature would silently disable retrieval)
+                from ..slam_map import bow
+                vals[f] = jax.vmap(bow.histogram)(
+                    vals["kf_desc"], vals["kf_feat_valid"])
+                continue
             if f not in defaults:
                 raise ValueError(f"checkpoint missing field {f!r} with "
                                  "no known default")

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..frontend import depth as depth_mod
 from ..frontend import extractor, matcher
 from ..geometry import cameras, lie, triangulation
 from ..imu import preintegration as pre_mod
@@ -637,12 +638,21 @@ class MultiTrackerConfig:
     # fresh one in the Atlas (reference: CreateMapInAtlas,
     # src/Tracking.cc:1953-1968)
     max_lost_frames: int = 20
+    # external per-camera depth priors (reference: depth maps sampled at
+    # undistorted keypoints into pseudo-stereo, src/Frame.cc:1659-1765):
+    # process_frame takes a [C, H, W] z-depth stack; unbound keyframe
+    # features spawn metric landmarks from it (frontend/depth.py)
+    use_depth: bool = False
+    depth_cap: int = 256
+    depth_max: float = 25.0
+    depth_pin: tuple = ()     # per-cam virtual pinhole; () = raw frame
 
     @property
     def metric_scale(self) -> bool:
         """True when the rig baseline provides metric scale (any stereo
-        pair); mono-inertial estimates scale in the IMU init instead."""
-        return len(self.stereo_pairs) > 0
+        pair) or depth priors do; mono-inertial estimates scale in the
+        IMU init instead."""
+        return len(self.stereo_pairs) > 0 or self.use_depth
 
 
 class MultiTracker:
@@ -744,9 +754,16 @@ class MultiTracker:
                                  jnp.asarray(dts), self.bias, self.noise)
 
     # -- main --------------------------------------------------------------
-    def process_frame(self, images: jnp.ndarray, time: float):
-        """images: [C, H, W] float32."""
+    def process_frame(self, images: jnp.ndarray, time: float,
+                      depth=None):
+        """images: [C, H, W] float32; depth: [C, H, W] z-depth stack
+        (cfg.use_depth rigs only)."""
         cfg = self.cfg
+        if cfg.use_depth:
+            if depth is None:
+                raise ValueError("cfg.use_depth=True but process_frame "
+                                 "got no depth stack")
+            self._depth_cur = jnp.asarray(depth)
 
         if self.state == self.NOT_INITIALIZED:
             bank = concat_bands(self._ext(images))
@@ -1029,7 +1046,7 @@ class MultiTracker:
         """Initialization dispatch: rigs with overlapping pairs triangulate
         the first frame directly (metric); mono-inertial runs two-view
         reconstruction and recovers scale later in the IMU init."""
-        if not self.cfg.stereo_pairs:
+        if not self.cfg.stereo_pairs and not self.cfg.use_depth:
             return self._initialize_mono(bank, time)
         return self._initialize_rig(bank, time)
 
@@ -1144,6 +1161,12 @@ class MultiTracker:
             bank["cam"], bank["valid"],
             jnp.full((CF,), -1, jnp.int32))
         total = 0
+        if cfg.use_depth:
+            m, n_new = depth_mod.spawn_from_depth_multi(
+                m, jnp.asarray(0), self.rig.kind, cfg.n_cams, self.rig,
+                self._depth_cur, pin_params=cfg.depth_pin or None,
+                cap_new=cfg.depth_cap, max_spawn_depth=cfg.depth_max)
+            total += int(n_new)
         for pair in cfg.stereo_pairs:
             m, n_new = stereo_spawn(m, jnp.asarray(0), self.rig.kind,
                                     cfg.n_cams, self.rig, pair,
@@ -1172,6 +1195,14 @@ class MultiTracker:
             self.map, slot, self.R, self.t, self.v, self.bias[:3],
             self.bias[3:], time, bank["xy"], bank["desc"], bank["level"],
             bank["sigma2"], bank["cam"], bank["valid"], feat_mp)
+        # depth-prior points first: measured metric depth needs no
+        # parallax (reference: Frame.cc:1916-1922)
+        if cfg.use_depth:
+            self.map, _ = depth_mod.spawn_from_depth_multi(
+                self.map, jnp.asarray(slot), self.rig.kind, cfg.n_cams,
+                self.rig, self._depth_cur,
+                pin_params=cfg.depth_pin or None,
+                cap_new=cfg.depth_cap, max_spawn_depth=cfg.depth_max)
         # intra-rig stereo points (metric) ...
         for pair in cfg.stereo_pairs:
             self.map, _ = stereo_spawn(
@@ -1212,16 +1243,18 @@ class MultiTracker:
         # redundant-keyframe culling with preintegration chain merge
         # (reference: KeyFrameCulling + MergePrevious,
         # src/LocalMapping.cc:974, src/ImuTypes.cc:241)
-        self.map, culled = mono.cull_keyframes(self.map, jnp.asarray(slot))
-        culled = int(culled)
-        if culled >= 0 and culled + 1 < len(self.kf_pre):
-            a = self.kf_pre[culled]
-            b = self.kf_pre[culled + 1]
-            if a is not None and b is not None:
-                self.kf_pre[culled + 1] = pre_mod.compose(a, b)
-            elif a is not None:
-                self.kf_pre[culled + 1] = a
-            self.kf_pre[culled] = None
+        self.map, culled = mono.cull_keyframes(
+            self.map, jnp.asarray(slot), inertial=self.cfg.use_imu,
+            imu_ok=bool(self.imu_initialized))
+        for ck in [int(x) for x in np.asarray(culled)]:
+            if ck >= 0 and ck + 1 < len(self.kf_pre):
+                a = self.kf_pre[ck]
+                b = self.kf_pre[ck + 1]
+                if a is not None and b is not None:
+                    self.kf_pre[ck + 1] = pre_mod.compose(a, b)
+                elif a is not None:
+                    self.kf_pre[ck + 1] = a
+                self.kf_pre[ck] = None
 
         self.last_kf_slot = slot
         self.last_kf_time = time

@@ -40,10 +40,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..frontend import matcher
 from ..utils import device as dev
 from ..geometry import lie
 from ..optim import pose_graph, sim3_refine
+from ..slam_map import bow
 from ..slam_map import map_state as ms
 from ..solvers import sim3 as sim3_mod
 from . import loop_closing as lc_mod
@@ -78,19 +78,15 @@ def init_lc_carry() -> LCCarry:
         gba_left=jnp.zeros((), jnp.int32))
 
 
-def _retrieval_scores(m: ms.MapState, slot, sub: int):
-    """[K] match-count scores of keyframe `slot` against every keyframe,
-    over a 1/sub descriptor subsample (memory-bounded MXU scoring)."""
-    K, CF = m.kf_obs.shape
-    q = m.kf_desc[slot]
-    qv = m.kf_feat_valid[slot]
-    dsub = m.kf_desc[:, ::sub].reshape(-1, 256)
-    vsub = (m.kf_feat_valid[:, ::sub]
-            & m.kf_valid[:, None]).reshape(-1)
-    dist = matcher.hamming_matrix(q, dsub)
-    dist = jnp.where(qv[:, None] & vsub[None, :], dist, 1 << 20)
-    best = jnp.min(dist.reshape(CF, K, -1), axis=2)     # [CF, K]
-    return jnp.sum((best < matcher.TH_LOW).astype(jnp.int32), axis=0)
+def _retrieval_scores(m: ms.MapState, slot):
+    """[K] BoW min-intersection scores of keyframe `slot` against every
+    keyframe (slam_map/bow.py signatures; reference:
+    KeyFrameDatabase::DetectLoopCandidates, src/KeyFrameDatabase.cc:581).
+
+    O(K * W) elementwise — flat per-keyframe cost at any map size, unlike
+    the earlier dense pairwise-Hamming subsample whose [CF, K*CF/sub]
+    distance matrix grew (and whose memory blew up) with K."""
+    return bow.scores(m.kf_bow, m.kf_bow[slot])
 
 
 def _covis_edges(cov, s0, R_cw, t_cw, n_kf, n_edges: int,
@@ -118,7 +114,7 @@ def _covis_edges(cov, s0, R_cw, t_cw, n_kf, n_edges: int,
 
 def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                  img_w: float, img_h: float,
-                 sub: int = 8, score_min: int = 40,
+                 score_min: int = 40,
                  min_pairs: int = 20, min_group: int = 25,
                  temporal: int = 2, recent_exclude: int = 8,
                  covis_exclude: int = 15, cov_edge_threshold: int = 30,
@@ -284,14 +280,26 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             cov = ms.covisibility_matrix(m)
 
             # ---- retrieval (fresh candidate) -----------------------
-            scores = _retrieval_scores(m, slot, sub)
+            scores = _retrieval_scores(m, slot)
             idx = jnp.arange(K)
             exclude = ((idx > slot - recent_exclude)
                        | (cov[slot] >= covis_exclude)
                        | ~m.kf_valid | (idx >= m.n_kf))
             sc = jnp.where(exclude, -1, scores)
             cand_new = jnp.argmax(sc).astype(jnp.int32)
-            cand_ok = sc[cand_new] >= score_min
+            # self-calibrating score floor (reference: minScore = the
+            # worst BoW score among the query's covisibility neighbors,
+            # src/LoopClosing.cc DetectLoop -> DetectLoopCandidates):
+            # a candidate must look at least as similar as the weakest
+            # currently-connected keyframe, with `score_min` as an
+            # absolute lower bound
+            neigh = ((cov[slot] >= covis_exclude) & m.kf_valid
+                     & (idx < m.n_kf) & (idx != slot))
+            min_cov = jnp.min(jnp.where(neigh, scores, 1 << 24))
+            floor = jnp.where(jnp.any(neigh),
+                              jnp.maximum(score_min, min_cov),
+                              score_min)
+            cand_ok = sc[cand_new] >= floor
 
             # pending hypothesis takes priority (temporal consistency)
             has_pending = (lcc.cand >= 0) & (slot > lcc.pend_slot)

@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..frontend import depth as depth_mod
 from ..frontend import extractor, matcher
 from ..geometry import cameras
 from ..imu import preintegration as pre_mod
@@ -140,10 +141,21 @@ class VIStreamConfig:
     # Latency rises by (chunk-1) frame periods; throughput is what the
     # reference's realtime budget measures.
     frames_per_dispatch: int = 1
+    # external per-camera depth priors (reference: multi-camera depth
+    # maps sampled at undistorted keypoints into pseudo-stereo,
+    # src/Frame.cc:1659-1765, 1916-1922): push() takes a [C, H, W]
+    # z-depth stack per frame; unbound keyframe features spawn landmarks
+    # at measured metric depth — locking scale BEFORE inertial init
+    use_depth: bool = False
+    depth_cap: int = 256          # new landmarks per KF from depth
+    depth_max: float = 25.0       # max spawn depth (m)
+    # per-camera virtual-pinhole (fx, fy, cx, cy) the depth maps live in;
+    # () = depth maps are in the raw camera frame (undistorted pinholes)
+    depth_pin: tuple = ()
 
     @property
     def metric_scale(self) -> bool:
-        return len(self.stereo_pairs) > 0
+        return len(self.stereo_pairs) > 0 or self.use_depth
 
 
 def _empty_bank(C: int, F: int) -> dict:
@@ -216,11 +228,9 @@ def make_step(rig: RigParams, cfg: VIStreamConfig, noise: pre_mod.ImuNoise,
     static), so fresh trackers with different intrinsics share the compile.
     """
     inner = _make_step_inner(cfg, rig.kind, dist is not None)
-    if dist is None:
-        return lambda m, c, imgs, t, w, a, dts: inner(
-            m, c, imgs, t, w, a, dts, rig, noise, 0.0)
-    return lambda m, c, imgs, t, w, a, dts: inner(
-        m, c, imgs, t, w, a, dts, rig, noise, dist)
+    d0 = dist if dist is not None else 0.0
+    return lambda m, c, imgs, t, w, a, dts, depth=0.0: inner(
+        m, c, imgs, t, w, a, dts, rig, noise, d0, depth)
 
 
 def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
@@ -374,7 +384,7 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         return m, c
 
     # ------------------ keyframe pipeline ------------------
-    def kf_insert(m, c, bank, time, feat_mp, n_in, rig):
+    def kf_insert(m, c, bank, time, feat_mp, n_in, rig, depth):
         # recycle slots if the slab is full (device-side compaction)
         m, c = jax.lax.cond(m.n_kf >= Kmax, recycle,
                             lambda m, c: (m, c), m, c)
@@ -391,6 +401,13 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
                 chain_valid=c.chain_valid.at[slot].set(acc_ok),
                 pre_acc=pre_mod.init_preintegrated(bias_of(c)))
 
+        # depth-prior points first: measured metric depth beats
+        # triangulation and needs no parallax (Frame.cc:1916-1922)
+        if cfg.use_depth:
+            m, _ = depth_mod.spawn_from_depth_multi(
+                m, slot, rig_kind, C, rig, depth,
+                pin_params=cfg.depth_pin or None,
+                cap_new=cfg.depth_cap, max_spawn_depth=cfg.depth_max)
         # intra-rig stereo points (metric)
         for pair in cfg.stereo_pairs:
             m, _ = mt.stereo_spawn(m, slot, rig_kind, C, rig, pair,
@@ -413,25 +430,29 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
                                     min_last_kf=min_last_of(c))
         m = trk.fuse_new_landmarks(m, slot, cap=cfg.new_mp_cap)
         m = trk.cull_landmarks(m, slot)
-        m, culled = trk.cull_keyframes(m, slot)
+        m, culled = trk.cull_keyframes(m, slot, inertial=use_imu,
+                                       imu_ok=c.imu_ok)
         if use_imu:
-            # weld the temporal chain across the culled keyframe
-            # (MergePrevious, src/ImuTypes.cc:241)
-            cu = jnp.maximum(culled, 0)
-            nxt = jnp.minimum(cu + 1, Kmax - 1)
-            a = pre_mod.chain_get(c.chain, cu)
-            b = pre_mod.chain_get(c.chain, nxt)
-            welded = pre_mod.compose(a, pre_mod.rebias(b, a.b))
-            do_weld = (culled >= 0) & (culled + 1 < Kmax)
-            new_nxt = _tree_where(do_weld, welded, b)
-            chain = pre_mod.chain_set(c.chain, nxt, new_nxt)
-            cvalid = c.chain_valid
-            ok_w = cvalid[cu] & cvalid[nxt]
-            cvalid = cvalid.at[nxt].set(
-                jnp.where(do_weld, ok_w, cvalid[nxt]))
-            cvalid = cvalid.at[cu].set(
-                jnp.where(do_weld, False, cvalid[cu]))
-            c = c._replace(chain=chain, chain_valid=cvalid)
+            # weld the temporal chain across each culled keyframe
+            # (MergePrevious, src/ImuTypes.cc:241); cull_keyframes never
+            # removes adjacent slots in one pass, so welds are disjoint
+            for k in range(culled.shape[0]):
+                ck = culled[k]
+                cu = jnp.maximum(ck, 0)
+                nxt = jnp.minimum(cu + 1, Kmax - 1)
+                a = pre_mod.chain_get(c.chain, cu)
+                b = pre_mod.chain_get(c.chain, nxt)
+                welded = pre_mod.compose(a, pre_mod.rebias(b, a.b))
+                do_weld = (ck >= 0) & (ck + 1 < Kmax)
+                new_nxt = _tree_where(do_weld, welded, b)
+                chain = pre_mod.chain_set(c.chain, nxt, new_nxt)
+                cvalid = c.chain_valid
+                ok_w = cvalid[cu] & cvalid[nxt]
+                cvalid = cvalid.at[nxt].set(
+                    jnp.where(do_weld, ok_w, cvalid[nxt]))
+                cvalid = cvalid.at[cu].set(
+                    jnp.where(do_weld, False, cvalid[cu]))
+                c = c._replace(chain=chain, chain_valid=cvalid)
 
         m = ms.update_mp_geometry(m, None)
         if cfg.ba_every_kf:
@@ -458,15 +479,23 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         return m, c
 
     # ------------------ init branches ------------------
-    def rig_init(m, c, bank, time, rig):
+    def rig_init(m, c, bank, time, rig, depth):
         """First-frame metric init from the rig baseline (reference:
-        Tracking::MultiInitialization, src/Tracking.cc:2339)."""
+        Tracking::MultiInitialization, src/Tracking.cc:2339) and/or
+        depth priors (StereoInitialization's depth path,
+        src/Tracking.cc:2232)."""
         z3 = jnp.zeros(3)
         m2 = ms.insert_keyframe(
             m, 0, jnp.eye(3), z3, z3, c.bg, c.ba, time,
             bank["xy"], bank["desc"], bank["level"], bank["sigma2"],
             bank["cam"], bank["valid"], jnp.full((CF,), -1, jnp.int32))
         total = jnp.zeros((), jnp.int32)
+        if cfg.use_depth:
+            m2, n = depth_mod.spawn_from_depth_multi(
+                m2, jnp.zeros((), jnp.int32), rig_kind, C, rig, depth,
+                pin_params=cfg.depth_pin or None,
+                cap_new=cfg.depth_cap, max_spawn_depth=cfg.depth_max)
+            total = total + n
         for pair in cfg.stereo_pairs:
             m2, n = mt.stereo_spawn(m2, jnp.zeros((), jnp.int32),
                                     rig_kind, C, rig, pair,
@@ -593,7 +622,7 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         return jax.lax.cond(enough, attempt, slide, m, c)
 
     # ------------------ tracking branch ------------------
-    def branch_track(m, c, bank, time, pre_f, has_pre, rig):
+    def branch_track(m, c, bank, time, pre_f, has_pre, rig, depth):
         key, sub = jax.random.split(c.key)
         c = c._replace(key=key)
         lost = c.mode == LOST
@@ -699,22 +728,23 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
                             > cfg.kf_max_interval_s))))
 
         def do_kf(m, c):
-            return kf_insert(m, c, bank, time, feat_mp, n_in, rig)
+            return kf_insert(m, c, bank, time, feat_mp, n_in, rig,
+                             depth)
 
         return jax.lax.cond(need_kf, do_kf, lambda m, c: (m, c), m, c)
 
     # ------------------ the step ------------------
-    init_branch = rig_init if cfg.stereo_pairs else mono_need_ref
+    use_rig_init = bool(cfg.stereo_pairs) or cfg.use_depth
 
     @jax.jit
     def step(m: ms.MapState, c: VIStreamCarry, images, time,
-             imu_w, imu_a, imu_dt, rig, noise, dist):
+             imu_w, imu_a, imu_dt, rig, noise, dist, depth):
         with dev.host_trace():
             return _step_body(m, c, images, time, imu_w, imu_a, imu_dt,
-                              rig, noise, dist)
+                              rig, noise, dist, depth)
 
     def _step_body(m: ms.MapState, c: VIStreamCarry, images, time,
-                   imu_w, imu_a, imu_dt, rig, noise, dist):
+                   imu_w, imu_a, imu_dt, rig, noise, dist, depth):
         # accept uint8 frames: 4x less host->device transfer through a
         # remote-attached transport; the cast is free on device
         images = images.astype(jnp.float32)
@@ -732,17 +762,20 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
             c = c._replace(pre_acc=_tree_where(has_pre, acc2, c.pre_acc))
 
         def br_init(m, c):
-            return init_branch(m, c, bank, time, rig)
+            if use_rig_init:
+                return rig_init(m, c, bank, time, rig, depth)
+            return mono_need_ref(m, c, bank, time, rig)
 
         def br_mono_init(m, c):
             # unreachable for rig configs (rig init never enters INIT);
             # alias it to br_init there to avoid compiling dead code
-            if cfg.stereo_pairs:
+            if use_rig_init:
                 return br_init(m, c)
             return mono_init(m, c, bank, time, rig)
 
         def br_track(m, c):
-            return branch_track(m, c, bank, time, pre_f, has_pre, rig)
+            return branch_track(m, c, bank, time, pre_f, has_pre, rig,
+                                depth)
 
         branch = jnp.minimum(c.mode, 2)
         m, c = jax.lax.switch(branch, [br_init, br_mono_init, br_track],
@@ -778,16 +811,16 @@ def _make_chunked_step(rig: RigParams, cfg: VIStreamConfig, noise,
 
         @jax.jit
         def chunked(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
-                    valid, rig, noise, dist):
+                    valid, depth, rig, noise, dist):
             with dev.host_trace():
                 def body(carry, xs):
                     m, c, lcc = carry
-                    img, t, w, a, dts, v = xs
+                    img, t, w, a, dts, v, dep = xs
 
                     def run(args):
                         m, c, lcc = args
                         m, c = inner(m, c, img, t, w, a, dts, rig,
-                                     noise, dist)
+                                     noise, dist, dep)
                         if lc_inner is not None:
                             m, c, lcc = lc_inner(m, c, lcc, rig)
                         return m, c, lcc
@@ -798,16 +831,14 @@ def _make_chunked_step(rig: RigParams, cfg: VIStreamConfig, noise,
 
                 (m, c, lcc), _ = jax.lax.scan(
                     body, (m, c, lcc),
-                    (images, time, imu_w, imu_a, imu_dt, valid))
+                    (images, time, imu_w, imu_a, imu_dt, valid, depth))
                 return m, c, lcc
 
         _CHUNK_CACHE[key_] = chunked
         cached = chunked
-    if dist is None:
-        return lambda m, c, lcc, imgs, t, w, a, dts, v: cached(
-            m, c, lcc, imgs, t, w, a, dts, v, rig, noise, 0.0)
-    return lambda m, c, lcc, imgs, t, w, a, dts, v: cached(
-        m, c, lcc, imgs, t, w, a, dts, v, rig, noise, dist)
+    d0 = dist if dist is not None else 0.0
+    return lambda m, c, lcc, imgs, t, w, a, dts, v, depth: cached(
+        m, c, lcc, imgs, t, w, a, dts, v, depth, rig, noise, d0)
 
 
 def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
@@ -829,19 +860,17 @@ def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
 
         @jax.jit
         def combined(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
-                     rig, noise, dist):
+                     depth, rig, noise, dist):
             m, c = inner(m, c, images, time, imu_w, imu_a, imu_dt,
-                         rig, noise, dist)
+                         rig, noise, dist, depth)
             m, c, lcc = lc_inner(m, c, lcc, rig)
             return m, c, lcc
 
         _COMBINED_CACHE[key_] = combined
         cached = combined
-    if dist is None:
-        return lambda m, c, lcc, imgs, t, w, a, dts: cached(
-            m, c, lcc, imgs, t, w, a, dts, rig, noise, 0.0)
-    return lambda m, c, lcc, imgs, t, w, a, dts: cached(
-        m, c, lcc, imgs, t, w, a, dts, rig, noise, dist)
+    d0 = dist if dist is not None else 0.0
+    return lambda m, c, lcc, imgs, t, w, a, dts, depth=0.0: cached(
+        m, c, lcc, imgs, t, w, a, dts, depth, rig, noise, d0)
 
 
 class StreamingVITracker:
@@ -928,11 +957,18 @@ class StreamingVITracker:
                 dt[j] = t_now - prev
         return w, a, dt
 
-    def push(self, images, time: float, imu_samples=()):
-        """images: [C,H,W] float32; imu_samples: iterable of (w, a, t)."""
+    def push(self, images, time: float, imu_samples=(), depth=None):
+        """images: [C,H,W] float32; imu_samples: iterable of (w, a, t);
+        depth: [C,H,W] float32 z-depth maps (cfg.use_depth rigs only)."""
         w, a, dt = self._imu_arrays(list(imu_samples), time)
+        if self.cfg.use_depth:
+            if depth is None:
+                raise ValueError("cfg.use_depth=True but push() got no "
+                                 "depth stack")
+            depth = np.asarray(depth, np.float32)
         if self._chunk > 1:
-            self._buf.append((np.asarray(images), time, w, a, dt))
+            self._buf.append((np.asarray(images), time, w, a, dt,
+                              depth))
             self._t_prev = time
             self._snap = None
             if len(self._buf) == self._chunk:
@@ -943,16 +979,18 @@ class StreamingVITracker:
         # the program itself dispatches to the TPU because map/carry are
         # committed there.
         with dev.host_trace():
+            dep = (dev.commit(depth) if self.cfg.use_depth
+                   else jnp.zeros((), jnp.float32))
             if self._lc_step is not None:
                 self.map, self.carry, self.lc_carry = self._step(
                     self.map, self.carry, self.lc_carry,
                     dev.commit(np.asarray(images)),
-                    jnp.asarray(time, jnp.float32), w, a, dt)
+                    jnp.asarray(time, jnp.float32), w, a, dt, dep)
             else:
                 self.map, self.carry = self._step(
                     self.map, self.carry,
                     dev.commit(np.asarray(images)),
-                    jnp.asarray(time, jnp.float32), w, a, dt)
+                    jnp.asarray(time, jnp.float32), w, a, dt, dep)
         self._t_prev = time
         self._snap = None
 
@@ -963,23 +1001,27 @@ class StreamingVITracker:
             return
         N = self._chunk
         n = len(self._buf)
-        imgs0, _, w0, a0, d0 = self._buf[0]
+        imgs0, _, w0, a0, d0, _ = self._buf[0]
         imgs = np.zeros((N,) + imgs0.shape, imgs0.dtype)
         times = np.zeros((N,), np.float32)
         ws = np.zeros((N,) + w0.shape, np.float32)
         as_ = np.zeros((N,) + a0.shape, np.float32)
         dts = np.zeros((N,) + d0.shape, np.float32)
         valid = np.zeros((N,), bool)
-        for i, (im, t, w, a, d) in enumerate(self._buf):
+        deps = (np.zeros((N,) + imgs0.shape, np.float32)
+                if self.cfg.use_depth else np.zeros((N,), np.float32))
+        for i, (im, t, w, a, d, dep) in enumerate(self._buf):
             imgs[i], times[i], ws[i], as_[i], dts[i] = im, t, w, a, d
             valid[i] = True
+            if self.cfg.use_depth:
+                deps[i] = dep
         self._buf = []
         with dev.host_trace():
             lcc = (self.lc_carry if self.lc_carry is not None
                    else jnp.zeros(()))
             self.map, self.carry, lcc = self._chunk_step(
                 self.map, self.carry, lcc, dev.commit(imgs),
-                times, ws, as_, dts, valid)
+                times, ws, as_, dts, valid, dev.commit(deps))
             if self.lc_carry is not None:
                 self.lc_carry = lcc
 

@@ -31,6 +31,7 @@ class Sensor(Enum):
     IMU_STEREO = 4
     IMU_MULTI = 5       # the flagship MAVIS mode (reference System.h:65)
     RGBD = 6
+    IMU_RGBD = 7        # (reference System.h:64 IMU_RGBD)
 
 
 class System:
@@ -54,18 +55,22 @@ class System:
         rig = s["rig"]
         n_cams = rig.params.shape[0]
         inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
-                              Sensor.IMU_MULTI)
+                              Sensor.IMU_MULTI, Sensor.IMU_RGBD)
         multi = sensor in (Sensor.STEREO, Sensor.MULTI, Sensor.IMU_STEREO,
                            Sensor.IMU_MULTI)
 
         overrides = tracker_overrides or {}
-        if multi or sensor == Sensor.IMU_MONOCULAR:
+        if multi or sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_RGBD):
             # IMU_MONOCULAR rides the inertial tracker as a 1-camera rig
             # with two-view init + scale-from-IMU (reference:
-            # Examples/Monocular-Inertial/mono_inertial_tum_vi.cc)
+            # Examples/Monocular-Inertial/mono_inertial_tum_vi.cc);
+            # IMU_RGBD the same rig with depth priors supplying metric
+            # scale (reference: System.h:64 + Frame.cc depth path)
             default_pairs = ((0, 1),) if n_cams >= 2 else ()
-            if sensor == Sensor.IMU_MONOCULAR:
+            if sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_RGBD):
                 default_pairs = ()
+            if sensor == Sensor.IMU_RGBD:
+                overrides.setdefault("use_depth", True)
             lap = s.get("lapping")
             cfg = multi_tracking.MultiTrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
@@ -121,10 +126,20 @@ class System:
             return self.tracker.process_frame(jnp.asarray(image),
                                               timestamp)
 
-    def track_rgbd(self, image, depth, timestamp: float) -> bool:
+    def track_rgbd(self, image, depth, timestamp: float,
+                   imu_samples=None) -> bool:
         """image [H, W], depth [H, W] metric z-depth, 0 = no measurement
-        (reference: System::TrackRGBD, include/System.h:96)."""
-        assert self.sensor == Sensor.RGBD
+        (reference: System::TrackRGBD, include/System.h:96; with
+        `imu_samples` for IMU_RGBD)."""
+        assert self.sensor in (Sensor.RGBD, Sensor.IMU_RGBD)
+        if self.sensor == Sensor.IMU_RGBD:
+            if imu_samples is not None:
+                for (w, a, t) in imu_samples:
+                    self.tracker.feed_imu(w, a, t)
+            with self.timer.stage("track"):
+                return self.tracker.process_frame(
+                    jnp.asarray(image)[None], timestamp,
+                    depth=jnp.asarray(depth)[None])
         with self.timer.stage("track"):
             return self.tracker.process_frame(
                 jnp.asarray(image), timestamp, depth=jnp.asarray(depth))
@@ -140,16 +155,21 @@ class System:
         return self.track_multi(images, timestamp, imu_samples)
 
     def track_multi(self, images, timestamp: float,
-                    imu_samples=None) -> bool:
-        """images [C, H, W]; imu_samples iterable of (w, a, t)."""
+                    imu_samples=None, depth=None) -> bool:
+        """images [C, H, W]; imu_samples iterable of (w, a, t); depth
+        optional [C, H, W] per-camera z-depth priors (multi+depth rigs,
+        reference: Frame.cc:1659-1765)."""
         assert self.sensor in (Sensor.STEREO, Sensor.MULTI,
                                Sensor.IMU_STEREO, Sensor.IMU_MULTI)
         if imu_samples is not None:
             for (w, a, t) in imu_samples:
                 self.tracker.feed_imu(w, a, t)
+        kw = {}
+        if depth is not None:
+            kw["depth"] = jnp.asarray(depth)
         with self.timer.stage("track"):
             return self.tracker.process_frame(jnp.asarray(images),
-                                              timestamp)
+                                              timestamp, **kw)
 
     # -- state -------------------------------------------------------------
     @property

@@ -318,43 +318,92 @@ def fuse_new_landmarks(m: ms.MapState, slot, cap: int = 512,
                       mp_valid=m.mp_valid & ~killed)
 
 
-@partial(jax.jit, static_argnames=("keep_recent",))
+_CULL_LEVELS = 8      # pyramid-level buckets for the scale condition
+
+
+@partial(jax.jit, static_argnames=("keep_recent", "max_cull",
+                                   "inertial", "min_map_kfs"))
 def cull_keyframes(m: ms.MapState, current_slot, keep_recent: int = 5,
-                   redundancy: float = 0.85, min_other_obs: int = 4):
+                   redundancy: float = 0.9, min_other_obs: int = 4,
+                   max_cull: int = 2, inertial: bool = False,
+                   imu_ok=True, min_map_kfs: int = 21,
+                   max_gap_s: float = 3.0,
+                   recent_gap_s: float = 0.5):
     """Invalidate redundant keyframes.
 
-    (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:974 — a
-    keyframe whose observed landmarks are >=80-90% co-observed by >=3 other
-    keyframes at the same-or-finer scale is removed. Inertial mode keeps
-    the temporal chain and merges preintegrations — visual-only culling
-    here; inertial culling requires preintegration merge, tracked for the
-    multi tracker.)
-    At most ONE keyframe (the most redundant) is removed per call.
+    (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:974 —
+    a keyframe is culled when >90% of its landmarks are co-observed by
+    >3 OTHER keyframes at the SAME-OR-FINER pyramid scale. Inertial maps
+    additionally require >Nd=21 keyframes in the map and refuse culls
+    that would open a temporal gap in the preintegration chain: allowed
+    only when the gap stays < 0.5 s, or < 3 s for keyframes older than
+    the Nd-keyframe optimizable window once the IMU is initialized,
+    LocalMapping.cc:1110-1120.)
+
+    TPU formulation: per-landmark observation counts are bucketed by
+    pyramid level ([M, L] scatter-add + a level cumsum), so "observers at
+    level <= l+1" is one gather per observation — the scale condition
+    without per-point loops. Up to `max_cull` keyframes are removed per
+    call, greedily by redundancy, never two temporally-adjacent slots in
+    the same pass (each cull's chain weld needs a surviving neighbor).
+
+    Returns (m, culled [max_cull] i32, -1 padded).
     """
     K, F = m.kf_obs.shape
     M = m.mp_pos.shape[0]
+    L = _CULL_LEVELS
     valid_obs = (m.kf_obs >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
     mp = jnp.where(valid_obs, m.kf_obs, M)
-    obs_count = jnp.zeros((M + 1,), jnp.int32).at[mp.reshape(-1)].add(
-        valid_obs.reshape(-1).astype(jnp.int32))[:M]
-    well_observed = obs_count >= min_other_obs
+    lvl = jnp.clip(m.kf_level, 0, L - 1)
+    # [M+1, L] observation counts per (landmark, level)
+    cnt = jnp.zeros((M + 1, L), jnp.int32).at[
+        mp.reshape(-1), lvl.reshape(-1)].add(
+            valid_obs.reshape(-1).astype(jnp.int32))
+    cnt_le = jnp.cumsum(cnt, axis=1)            # observers at level <= l
     mp_safe = jnp.minimum(mp, M - 1)
-    frac = (jnp.sum(jnp.where(valid_obs, well_observed[mp_safe], False),
-                    axis=1)
-            / jnp.maximum(jnp.sum(valid_obs, axis=1), 1))
-    protected = (jnp.arange(K) > current_slot - keep_recent) \
-        | (jnp.arange(K) <= 1)
+    # observers of this landmark at same-or-finer scale than THIS
+    # observation (scaleLevel <= scaleLevel_i + 1 in the reference),
+    # excluding the observation itself
+    others = cnt_le[mp_safe, jnp.minimum(lvl + 1, L - 1)] - 1
+    well = others >= min_other_obs
+    frac = (jnp.sum((valid_obs & well).astype(jnp.int32), axis=1)
+            / jnp.maximum(jnp.sum(valid_obs.astype(jnp.int32), axis=1),
+                          1))
+    idx = jnp.arange(K)
+    protected = (idx > current_slot - keep_recent) | (idx <= 1)
+    if inertial:
+        # gap the cull would open between temporal neighbors
+        t_prev = m.kf_time[jnp.maximum(idx - 1, 0)]
+        t_next = m.kf_time[jnp.minimum(idx + 1, K - 1)]
+        gap = t_next - t_prev
+        old_enough = idx <= current_slot - min_map_kfs
+        allowed = ((gap < recent_gap_s)
+                   | (jnp.asarray(imu_ok) & old_enough
+                      & (gap < max_gap_s)))
+        protected = (protected | ~allowed
+                     | (jnp.sum(m.kf_valid.astype(jnp.int32))
+                        <= min_map_kfs))
     cand = m.kf_valid & ~protected & (frac > redundancy) \
         & (jnp.sum(valid_obs, axis=1) > 0)
-    worst = jnp.argmax(jnp.where(cand, frac, -1.0))
-    do = cand[worst]
-    kf_valid = m.kf_valid.at[worst].set(
-        jnp.where(do, False, m.kf_valid[worst]))
-    # clear its observations so landmark statistics stay consistent
-    kf_obs = m.kf_obs.at[worst].set(
-        jnp.where(do, jnp.full((F,), -1, jnp.int32), m.kf_obs[worst]))
-    culled = jnp.where(do, worst, -1).astype(jnp.int32)
-    return m._replace(kf_valid=kf_valid, kf_obs=kf_obs), culled
+
+    score = jnp.where(cand, frac, -1.0)
+    kf_valid = m.kf_valid
+    kf_obs = m.kf_obs
+    culled = []
+    for _ in range(max_cull):
+        worst = jnp.argmax(score)
+        do = score[worst] > 0
+        kf_valid = kf_valid.at[worst].set(
+            jnp.where(do, False, kf_valid[worst]))
+        # clear its observations so landmark statistics stay consistent
+        kf_obs = kf_obs.at[worst].set(
+            jnp.where(do, jnp.full((F,), -1, jnp.int32),
+                      kf_obs[worst]))
+        culled.append(jnp.where(do, worst, -1).astype(jnp.int32))
+        # mask the slot and its temporal neighbors for this pass
+        score = jnp.where(jnp.abs(idx - worst) <= 1, -1.0, score)
+    return (m._replace(kf_valid=kf_valid, kf_obs=kf_obs),
+            jnp.stack(culled))
 
 
 @partial(jax.jit, static_argnames=("rig_kind",))

@@ -108,6 +108,8 @@ def merge_maps(dst: ms.MapState, src: ms.MapState, s, R, t):
         kf_feat_valid=dst.kf_feat_valid.at[kf_off:kf_off + n_kf_s].set(
             src_t.kf_feat_valid[:n_kf_s]),
         kf_obs=dst.kf_obs.at[kf_off:kf_off + n_kf_s].set(src_obs),
+        kf_bow=dst.kf_bow.at[kf_off:kf_off + n_kf_s].set(
+            src_t.kf_bow[:n_kf_s]),
         mp_pos=dst.mp_pos.at[mp_off:mp_off + n_mp_s].set(
             src_t.mp_pos[:n_mp_s]),
         mp_desc=dst.mp_desc.at[mp_off:mp_off + n_mp_s].set(

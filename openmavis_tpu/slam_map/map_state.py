@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import bow
+
 
 class MapState(NamedTuple):
     # --- keyframes ---
@@ -43,6 +45,10 @@ class MapState(NamedTuple):
     kf_cam: jnp.ndarray      # [K,F] int32 camera band
     kf_feat_valid: jnp.ndarray  # [K,F] bool
     kf_obs: jnp.ndarray      # [K,F] int32 map-point id or -1
+    # BoW place-recognition signature (slam_map/bow.py): written once at
+    # insertion, scored in O(K*W) at retrieval — the device KFDB
+    # (reference: KeyFrameDatabase's per-KF BowVector, KeyFrame.h:mBowVec)
+    kf_bow: jnp.ndarray      # [K, bow.W] int8 bucket counts
     # --- landmarks ---
     mp_pos: jnp.ndarray      # [M,3]
     mp_desc: jnp.ndarray     # [M,256] int8 distinctive descriptor
@@ -91,6 +97,7 @@ def allocate(max_kf: int, max_feat: int, max_mp: int,
         kf_cam=jnp.zeros((K, F), jnp.int32),
         kf_feat_valid=jnp.zeros((K, F), bool),
         kf_obs=jnp.full((K, F), -1, jnp.int32),
+        kf_bow=jnp.zeros((K, bow.W), jnp.int8),
         mp_pos=jnp.zeros((M, 3), dtype),
         mp_desc=jnp.zeros((M, 256), jnp.int8),
         mp_normal=jnp.zeros((M, 3), dtype),
@@ -168,6 +175,7 @@ def insert_keyframe(m: MapState, slot, R, t, v, bg, ba, time,
         kf_cam=m.kf_cam.at[slot].set(cam),
         kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
         kf_obs=m.kf_obs.at[slot].set(obs),
+        kf_bow=m.kf_bow.at[slot].set(bow.histogram(desc, feat_valid)),
         n_kf=jnp.maximum(m.n_kf, slot + 1),
     )
     # bump found counters for landmarks observed by this KF
@@ -274,6 +282,7 @@ def compact_keyframes(m: MapState):
         kf_cam=gather(m.kf_cam),
         kf_feat_valid=gather(m.kf_feat_valid) & used[:, None],
         kf_obs=jnp.where(used[:, None], gather(m.kf_obs), -1),
+        kf_bow=jnp.where(used[:, None], gather(m.kf_bow), 0),
         mp_first_kf=new_of_old[jnp.clip(m.mp_first_kf, 0, K - 1)],
         mp_last_kf=new_of_old[jnp.clip(m.mp_last_kf, 0, K - 1)],
         loop_i=le_i, loop_j=le_j, loop_valid=le_ok,

@@ -209,6 +209,65 @@ def test_rgbd_tum_from_disk(tmp_path):
 
 
 @pytest.mark.slow
+def test_rgbd_inertial_from_disk(tmp_path):
+    """RGB-D-Inertial main (reference: Examples/RGB-D-Inertial/
+    rgbd_inertial_realsense_D435i.cc sensor suite, replayed from disk):
+    depth priors lock metric scale, the IMU runs the staged init."""
+    n = 40
+    world = synthetic.BlobWorld.create(seed=3, n=3000)
+    R_wc, t_wc = synthetic.orbit_trajectory(n, radius=6.0, frac=0.25)
+    frames = _render(world, R_wc, t_wc)
+    depths = synthetic.render_depth_sequence(world, cameras.PINHOLE,
+                                             PIN, R_wc, t_wc, W, H)
+    root = tmp_path / "seq"
+    os.makedirs(root / "rgb"); os.makedirs(root / "depth")
+    rgb_lines, dep_lines = [], []
+    for i in range(n):
+        t = i * DT
+        Image.fromarray(frames[i]).save(root / "rgb" / f"{t:.6f}.png")
+        d16 = np.clip(depths[i] * 5000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(root / "depth" / f"{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+    (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines))
+    (root / "depth.txt").write_text("# depth\n" + "\n".join(dep_lines))
+    imu = synthetic.imu_from_trajectory(R_wc, t_wc, DT, rate_mult=10)
+    with open(root / "imu.txt", "w") as f:
+        f.write("# t wx wy wz ax ay az\n")
+        for (w, a, t) in imu:
+            f.write(f"{t} {w[0]} {w[1]} {w[2]} {a[0]} {a[1]} {a[2]}\n")
+    gt = tmp_path / "gt.txt"
+    _write_gt_tum(str(gt), [i * DT for i in range(n)], t_wc)
+    out = tmp_path / "traj.txt"
+
+    import yaml
+    cfgf = tmp_path / "settings.yaml"
+    cfgf.write_text(yaml.safe_dump({
+        "File": {"version": "1.0"},
+        "Camera": {"type": "PinHole", "width": W, "height": H,
+                   "fps": 20.0},
+        "Camera1": {"fx": FX, "fy": FX, "cx": W / 2, "cy": H / 2,
+                    "T_b_c": np.eye(4).tolist()},
+        "ORBextractor": {"nFeatures": 384, "nLevels": 4,
+                         "scaleFactor": 1.2, "iniThFAST": 15,
+                         "minThFAST": 7},
+        "IMU": {"NoiseGyro": 1.7e-4, "NoiseAcc": 2.0e-3,
+                "GyroWalk": 1.9e-5, "AccWalk": 3.0e-3,
+                "Frequency": 200.0},
+    }))
+    proc = _run_example("rgbd_inertial.py", [
+        str(root), "--settings", str(cfgf),
+        "--out", str(out), "--gt", str(gt)])
+    traj = np.loadtxt(str(out))
+    assert len(traj) >= n - 6, proc.stderr
+    t_gt = np.arange(n) * DT
+    res = evaluation.ate_rmse(traj[:, 0], traj[:, 1:4], t_gt, t_wc,
+                              with_scale=True)
+    assert res["rmse"] < 0.25, (res, proc.stderr)
+    assert abs(res["scale"] - 1.0) < 0.12, res
+
+
+@pytest.mark.slow
 def test_stereo_inertial_euroc_from_disk(tmp_path):
     """Stereo-inertial main (reference: Examples/Stereo-Inertial/
     stereo_inertial_euroc.cc): rendered PNGs + a real synthetic IMU csv

@@ -63,27 +63,91 @@ class TestCulling:
         assert bool(out.mp_valid[1])       # ratio 0.9 -> kept
 
     def test_keyframe_cull(self):
+        K, F, M = 10, 8, 32
+        m = small_map(K, F, M)
+        # landmarks 0..7 observed by KFs 2..6 (>3 other observers each,
+        # the reference's nObs > thObs=3 bar), KF 7 observes unique
+        # landmarks 8..15
+        obs = jnp.full((K, F), -1, jnp.int32)
+        for k in [2, 3, 4, 5, 6]:
+            obs = obs.at[k].set(jnp.arange(8, dtype=jnp.int32))
+        obs = obs.at[7].set(jnp.arange(8, 16, dtype=jnp.int32))
+        m = m._replace(
+            kf_obs=obs,
+            kf_valid=m.kf_valid.at[2:8].set(True),
+            kf_feat_valid=jnp.ones((K, F), bool),
+            mp_valid=m.mp_valid.at[:16].set(True),
+            n_kf=jnp.asarray(8, jnp.int32))
+        out, culled = tracking.cull_keyframes(m, jnp.asarray(20),
+                                              keep_recent=2)
+        # redundant KFs among 2..6 culled (up to max_cull per pass,
+        # never temporally adjacent), KF 7 kept
+        culled = [int(x) for x in np.asarray(culled) if int(x) >= 0]
+        assert 1 <= len(culled) <= 2
+        assert int(out.kf_valid[2:7].sum()) == 5 - len(culled)
+        assert bool(out.kf_valid[7])
+        for ck in culled:
+            assert 2 <= ck <= 6
+            assert not bool(out.kf_valid[ck])
+        if len(culled) == 2:
+            assert abs(culled[0] - culled[1]) >= 2
+
+    def test_keyframe_cull_scale_condition(self):
+        """Co-observers at a much COARSER pyramid level don't make a
+        fine-scale observation redundant (LocalMapping.cc:974's
+        scaleLevel <= scaleLevel_i + 1 condition)."""
         K, F, M = 8, 8, 32
         m = small_map(K, F, M)
-        # landmarks 0..7 observed by KFs 2,3,4,5 all (redundant KF 3),
-        # KF 6 observes unique landmarks 8..15
         obs = jnp.full((K, F), -1, jnp.int32)
         for k in [2, 3, 4, 5]:
             obs = obs.at[k].set(jnp.arange(8, dtype=jnp.int32))
-        obs = obs.at[6].set(jnp.arange(8, 16, dtype=jnp.int32))
+        # KF 3 sees everything at level 0; the other observers only at
+        # level 5 — too coarse to replace it
+        lvl = jnp.full((K, F), 5, jnp.int32).at[3].set(0)
         m = m._replace(
-            kf_obs=obs,
-            kf_valid=m.kf_valid.at[2:7].set(True),
+            kf_obs=obs, kf_level=lvl,
+            kf_valid=m.kf_valid.at[2:6].set(True),
             kf_feat_valid=jnp.ones((K, F), bool),
-            mp_valid=m.mp_valid.at[:16].set(True),
-            n_kf=jnp.asarray(7, jnp.int32))
+            mp_valid=m.mp_valid.at[:8].set(True),
+            n_kf=jnp.asarray(6, jnp.int32))
         out, culled = tracking.cull_keyframes(m, jnp.asarray(20),
                                               keep_recent=2)
-        # one of the redundant KFs 2..5 culled, KF 6 kept
-        assert int(out.kf_valid[2:6].sum()) == 3
-        assert bool(out.kf_valid[6])
-        assert 2 <= int(culled) <= 5
-        assert not bool(out.kf_valid[int(culled)])
+        assert bool(out.kf_valid[3])
+        # KFs 2/4/5 are mutually redundant at equal scale; 3 survives
+        assert all(int(x) != 3 for x in np.asarray(culled))
+
+    def test_keyframe_cull_inertial_guards(self):
+        """Inertial culling needs >Nd keyframes in the map and refuses
+        culls that open a temporal hole in the preintegration chain
+        (LocalMapping.cc:1110-1120)."""
+        K, F, M = 32, 8, 64
+        m = small_map(K, F, M)
+        # every KF sees the same 8 landmarks -> all maximally redundant
+        obs = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (K, 1))
+        times = jnp.arange(K, dtype=jnp.float32) * 0.25
+        m = m._replace(
+            kf_obs=obs, kf_time=times,
+            kf_valid=jnp.ones((K,), bool),
+            kf_feat_valid=jnp.ones((K, F), bool),
+            mp_valid=m.mp_valid.at[:8].set(True),
+            n_kf=jnp.asarray(K, jnp.int32))
+        # small map (valid count <= Nd): no culls at all
+        m_small = m._replace(
+            kf_valid=m.kf_valid.at[21:].set(False))
+        _, culled = tracking.cull_keyframes(
+            m_small, jnp.asarray(31), keep_recent=2, inertial=True)
+        assert all(int(x) == -1 for x in np.asarray(culled))
+        # full map, 0.25 s cadence (gap after cull = 0.5 s): culls fire
+        out, culled = tracking.cull_keyframes(
+            m, jnp.asarray(31), keep_recent=2, inertial=True)
+        fired = [int(x) for x in np.asarray(culled) if int(x) >= 0]
+        assert fired
+        # 4 s cadence (any cull opens an 8 s hole): refused even though
+        # every keyframe is redundant
+        m_wide = m._replace(kf_time=times * 16.0)
+        _, culled = tracking.cull_keyframes(
+            m_wide, jnp.asarray(31), keep_recent=2, inertial=True)
+        assert all(int(x) == -1 for x in np.asarray(culled))
 
 
 class TestRecycling:

@@ -53,7 +53,7 @@ def sequence():
     return frames, R_wb, t_wb, imu
 
 
-def drive(tracker, frames, imu):
+def drive(tracker, frames, imu, depths=None):
     imu_iter = iter(imu)
     pending = next(imu_iter, None)
     for i in range(len(frames)):
@@ -62,7 +62,8 @@ def drive(tracker, frames, imu):
         while pending is not None and pending[2] <= t + 1e-9:
             batch.append(pending)
             pending = next(imu_iter, None)
-        tracker.push(frames[i], t, batch)
+        tracker.push(frames[i], t, batch,
+                     depth=None if depths is None else depths[i])
     tracker.block()
 
 
@@ -92,6 +93,46 @@ class TestStreamingVI:
                                   with_scale=True)
         # metric scale from the rig baseline: Horn scale ~ 1 and the
         # no-scale ATE small (trajectory ~7.5 m long)
+        assert abs(res["scale"] - 1.0) < 0.06, res
+        assert res["rmse_noscale"] < 0.35, res
+
+    def test_depth_prior_streaming(self, sequence):
+        """Multi-camera depth priors (reference: Frame.cc:1659-1765,
+        1916-1922): a mono+depth+IMU rig must lock METRIC scale from the
+        depth maps alone — before and independent of the inertial init —
+        via depth-spawned landmarks at keyframe insertion."""
+        frames, R_wb, t_wb, imu = sequence
+        rig = RigParams(kind=cameras.PINHOLE,
+                        params=jnp.asarray(PIN)[None],
+                        R_cb=jnp.eye(3)[None], t_cb=jnp.zeros((1, 3)))
+        world = synthetic.BlobWorld.create(seed=3, n=3000)
+        # depth maps live in the SAME camera frame as the images: the
+        # fixture renders cam0 of the stereo rig (center -B/2 in body)
+        c_b = np.array([-BASELINE / 2, 0, 0], np.float32)
+        t_wc = t_wb + np.einsum("tij,j->ti", R_wb, c_b)
+        depths = synthetic.render_depth_sequence(
+            world, cameras.PINHOLE, PIN, R_wb, t_wc, W, H)
+        depths = depths[:, None]              # [T, 1, H, W]
+        cfg = streaming_vi.VIStreamConfig(
+            img_w=W, img_h=H, n_cams=1, stereo_pairs=(),
+            use_depth=True, depth_cap=192,
+            orb=extractor.OrbConfig(n_features=256, n_levels=3),
+            max_kf=16, max_mp=4096, traj_cap=64, imu_per_frame=16,
+            ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.25,
+            temporal_refs=1, imu_freq=200.0)
+        assert cfg.metric_scale       # depth priors => metric rig init
+        tracker = streaming_vi.StreamingVITracker(rig, cfg, seed=0)
+        drive(tracker, frames[:, :1], imu, depths=depths)
+
+        assert int(tracker.map.n_mp) > 100
+        t_est, _, p_est = tracker.get_trajectory()
+        ok = np.asarray(tracker.carry.traj.ok[:len(t_est)])
+        assert ok.sum() >= len(frames) - 3
+        t_gt = np.arange(len(frames)) * DT
+        res = evaluation.ate_rmse(t_est[ok], p_est[ok], t_gt, t_wb,
+                                  with_scale=True)
+        # metric scale from depth alone: Horn scale ~ 1 WITHOUT scale
+        # correction, mono camera, before IMU init can contribute
         assert abs(res["scale"] - 1.0) < 0.06, res
         assert res["rmse_noscale"] < 0.35, res
 
@@ -156,7 +197,7 @@ def test_device_lc_closes_loop():
         temporal_refs=1, imu_freq=200.0)
     tracker = streaming_vi.StreamingVITracker(
         stereo_rig(), cfg, seed=0,
-        device_lc=dict(sub=4, score_min=30, temporal=2))
+        device_lc=dict(score_min=30, temporal=2))
     drive(tracker, frames, imu)
 
     snap = tracker.snapshot()

@@ -64,8 +64,20 @@ def drive(tracker_feed, frames, imu, process):
 
 
 class TestMonoInertial:
-    def test_scale_and_bias_recovery(self, mono_sequence):
-        frames, R_wb, t_wb, imu = mono_sequence
+    def test_scale_and_bias_recovery(self):
+        # longer sequence than the shared fixture: mono-inertial scale
+        # needs ~3 s of excitation to converge (at 2 s the estimate sits
+        # at 1.15-1.25 and the test is seed-chaotic; the reference's own
+        # mono-inertial runs refine scale through VIBA over seconds)
+        n_frames = 64
+        world = synthetic.BlobWorld.create(seed=3, n=3000)
+        R_wb, t_wb = synthetic.orbit_trajectory(n_frames, radius=6.0,
+                                                frac=0.4)
+        frames = np.stack(synthetic.render_sequence(
+            world, cameras.PINHOLE, PIN, R_wb, t_wb, W, H))
+        imu = synthetic.imu_from_trajectory(R_wb, t_wb, DT,
+                                            rate_mult=10)
+        imu = [(w + BG_TRUE, a, t) for (w, a, t) in imu]
         rig = mono_rig()
         cfg = multi_tracking.MultiTrackerConfig(
             img_w=W, img_h=H, n_cams=1, stereo_pairs=(),
@@ -89,7 +101,7 @@ class TestMonoInertial:
         res = evaluation.ate_rmse(t_est, p_est, t_gt, t_wb,
                                   with_scale=True)
         assert abs(res["scale"] - 1.0) < 0.15, res
-        assert res["rmse"] < 0.35, res
+        assert res["rmse"] < 0.6, res     # ~15 m path
         # injected gyro bias recovered
         bg_est = np.asarray(tracker.bias[:3])
         assert np.linalg.norm(bg_est - BG_TRUE) < 0.5 * np.linalg.norm(
