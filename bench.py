@@ -95,14 +95,21 @@ def parse_args(argv=None):
     p.add_argument("--orbit-frac", type=float, default=1.25)
     p.add_argument("--kind", choices=["pinhole", "kb8"],
                    default="pinhole")
-    p.add_argument("--max-kf", type=int, default=256)
-    p.add_argument("--max-mp", type=int, default=32768)
+    # headline slab: 64 KF / 16k landmarks comfortably holds the
+    # 160-frame flagship sequence (28 KFs); the map-SCALE artifact is
+    # the separate long-sequence run (--frames 1600 --max-kf 256
+    # --max-mp 32768 --track-cap 8192, recorded in PERF.md)
+    p.add_argument("--max-kf", type=int, default=64)
+    p.add_argument("--max-mp", type=int, default=16384)
     p.add_argument("--fpd", type=int, default=8,
                    help="frames per device dispatch")
     p.add_argument("--gba-steps", type=int, default=None,
                    help="amortized post-loop GBA budget (None = default)")
     p.add_argument("--score-min", type=int, default=30)
     p.add_argument("--kf-interval", type=float, default=0.25)
+    p.add_argument("--track-cap", type=int, default=0,
+                   help="local-map landmark cap for per-frame tracking "
+                        "(0 = whole map)")
     p.add_argument("--no-lc", action="store_true")
     p.add_argument("--no-microbench", action="store_true")
     p.add_argument("--metric", default="multi_inertial_slam_fps")
@@ -148,6 +155,7 @@ def main(argv=None):
         # per dispatch amortizes to ~2.5 ms/frame (PERF.md transport
         # model); the scan body is the identical per-frame step
         frames_per_dispatch=args.fpd,
+        track_map_cap=args.track_cap,
         # local-map tracking (reference: TrackLocalMap's covisible window,
         # src/Tracking.cc:3396): matching against the WHOLE map would hide
         # drift by continuously re-binding revisited landmarks — realistic

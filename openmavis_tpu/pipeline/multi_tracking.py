@@ -106,51 +106,101 @@ def _feat_mp_from(idx, keep, CF, M):
         jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+def _local_map_compact(m: ms.MapState, min_last_kf, cap: int):
+    """Gather the <= `cap` most-recently-observed visible landmarks into
+    a compact sub-map for per-frame tracking.
+
+    The reference tracks against the LOCAL map — the points of the
+    covisible keyframe set (Tracking::UpdateLocalPoints,
+    src/Tracking.cc:3462) — never the whole atlas. The masked-dense
+    equivalent costs O(M) per frame in the projection, Hamming match and
+    every LM residual evaluation, i.e. per-frame time grows with slab
+    CAPACITY (measured: track 31.7 ms at M=16k -> 62 ms at 32k). One
+    top_k by last-observing keyframe + gather fixes the cost at O(cap)
+    regardless of map size; landmark ids are mapped back to the full
+    slab afterwards.
+
+    Returns (sub_map, inv [cap] global ids, used [cap] mask).
+    """
+    sel = m.mp_valid & (m.mp_last_kf >= min_last_kf)
+    score = jnp.where(sel, m.mp_last_kf, -1)
+    _, inv = jax.lax.top_k(score, cap)
+    used = score[inv] >= 0
+    sub = m._replace(
+        mp_pos=m.mp_pos[inv], mp_desc=m.mp_desc[inv],
+        mp_normal=m.mp_normal[inv], mp_dmin=m.mp_dmin[inv],
+        mp_dmax=m.mp_dmax[inv], mp_valid=used,
+        mp_last_kf=m.mp_last_kf[inv], mp_first_kf=m.mp_first_kf[inv],
+        mp_visible=m.mp_visible[inv], mp_found=m.mp_found[inv])
+    return sub, inv, used
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap"))
 def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
                      rig_kind: int, n_cams: int, rig: RigParams,
                      img_w: float, img_h: float, radius,
-                     min_last_kf=-1):
-    """Whole-map projection tracking across all camera bands + pose opt.
+                     min_last_kf=-1, map_cap: int = 0):
+    """Local-map projection tracking across all camera bands + pose opt.
 
-    Returns (R, t, feat_mp [C*F], n_in, vis [M], keep_per_band).
+    `map_cap` > 0 compacts the tracked landmark set to the cap (see
+    _local_map_compact) — per-frame cost O(cap) instead of O(M).
+    Returns (R, t, feat_mp [C*F], n_in, vis [M], keep [M]).
     """
     CF = bank["xy"].shape[0]
     M = m.mp_pos.shape[0]
-    idx, matched = _match_bank(m, bank, R_pred, t_pred, rig_kind, n_cams,
-                               rig, img_w, img_h, radius, min_last_kf)
+    compact = bool(map_cap) and map_cap < M
+    if compact:
+        mt_, inv, used = _local_map_compact(m, min_last_kf, map_cap)
+        Mt = map_cap
+    else:
+        mt_, used, Mt = m, m.mp_valid, M
+    idx, matched = _match_bank(mt_, bank, R_pred, t_pred, rig_kind,
+                               n_cams, rig, img_w, img_h, radius,
+                               min_last_kf)
     safe_idx = jnp.where(matched, idx, 0)
 
     uv_obs = bank["xy"][safe_idx]
     sigma2 = bank["sigma2"][safe_idx]
     cam_idx = bank["cam"][safe_idx]
     R, t, inlier, n_in = pose_opt.pose_optimization(
-        R_pred, t_pred, m.mp_pos, cam_idx, uv_obs, sigma2,
-        matched & m.mp_valid, rig)
+        R_pred, t_pred, mt_.mp_pos, cam_idx, uv_obs, sigma2,
+        matched & used, rig)
 
     keep = matched & inlier
-    feat_mp = _feat_mp_from(idx, keep, CF, M)
+    feat_mp = _feat_mp_from(idx, keep, CF, Mt)
     vis = matched  # proxy for statistics
+    if compact:
+        feat_mp = jnp.where(feat_mp >= 0,
+                            inv[jnp.maximum(feat_mp, 0)], -1)
+        vis = jnp.zeros((M,), bool).at[inv].max(vis & used)
+        keep = jnp.zeros((M,), bool).at[inv].max(keep & used)
     return R, t, feat_mp, n_in, vis, keep
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap"))
 def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
                         rig_kind: int, n_cams: int, rig: RigParams,
                         img_w: float, img_h: float, radius,
-                        min_last_kf=-1):
-    """VI whole-map tracking: match from the IMU-predicted pose, then
+                        min_last_kf=-1, map_cap: int = 0):
+    """VI local-map tracking: match from the IMU-predicted pose, then
     optimize the FULL 15-dof state against visual matches + the
     preintegrated edge to the anchor (last frame) + bias random walk.
 
     (reference: TrackLocalMap's PoseInertialOptimizationLastFrame,
     src/Optimizer.cc:5580 — the core accuracy mechanism of MAVIS: IMU
     information constrains the per-frame pose, not just its prediction.)
+    `map_cap` as in track_step_multi.
     Returns (state: pose_opt.InertialState, feat_mp, n_in, vis, keep).
     """
     CF = bank["xy"].shape[0]
     M = m.mp_pos.shape[0]
-    idx, matched = _match_bank(m, bank, state_pred.R, state_pred.p,
+    compact = bool(map_cap) and map_cap < M
+    if compact:
+        mt_, inv, used = _local_map_compact(m, min_last_kf, map_cap)
+        Mt = map_cap
+    else:
+        mt_, used, Mt = m, m.mp_valid, M
+    idx, matched = _match_bank(mt_, bank, state_pred.R, state_pred.p,
                                rig_kind, n_cams, rig, img_w, img_h,
                                radius, min_last_kf)
     safe_idx = jnp.where(matched, idx, 0)
@@ -159,12 +209,18 @@ def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
     cam_idx = bank["cam"][safe_idx]
 
     state, inlier, n_in = pose_opt.pose_inertial_optimization(
-        state_pred, anchor, pre, m.mp_pos, cam_idx, uv_obs, sigma2,
-        matched & m.mp_valid, rig)
+        state_pred, anchor, pre, mt_.mp_pos, cam_idx, uv_obs, sigma2,
+        matched & used, rig)
 
     keep = matched & inlier
-    feat_mp = _feat_mp_from(idx, keep, CF, M)
-    return state, feat_mp, n_in, matched, keep
+    feat_mp = _feat_mp_from(idx, keep, CF, Mt)
+    vis = matched
+    if compact:
+        feat_mp = jnp.where(feat_mp >= 0,
+                            inv[jnp.maximum(feat_mp, 0)], -1)
+        vis = jnp.zeros((M,), bool).at[inv].max(vis & used)
+        keep = jnp.zeros((M,), bool).at[inv].max(keep & used)
+    return state, feat_mp, n_in, vis, keep
 
 
 def _lap(cfg, cam: int):

@@ -141,6 +141,13 @@ class VIStreamConfig:
     # Latency rises by (chunk-1) frame periods; throughput is what the
     # reference's realtime budget measures.
     frames_per_dispatch: int = 1
+    # per-frame tracking matches against <= this many landmarks (the
+    # most recently observed; multi_tracking._local_map_compact) so
+    # frame cost is O(cap), independent of slab capacity. 0 = whole map
+    # (the right call at max_mp <= 16k, where the compaction's random
+    # descriptor gathers cost as much as the Hamming compute they save —
+    # measured 8.7 vs 9.5 fps; enable at larger slabs).
+    track_map_cap: int = 0
     # external per-camera depth priors (reference: multi-camera depth
     # maps sampled at undistorted keypoints into pseudo-stereo,
     # src/Frame.cc:1659-1765, 1916-1922): push() takes a [C, H, W]
@@ -664,14 +671,14 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
                                           bg=c.bg, ba=c.ba)
             st, feat_mp, n_in, vis, keep = mt.track_step_multi_vi(
                 m, bank, anchor, pred, pre_f, rig_kind, C, rig, W, H,
-                radius, min_last)
+                radius, min_last, map_cap=cfg.track_map_cap)
             return (st.R, st.p, st.v, st.bg, st.ba, feat_mp, n_in, vis,
                     keep)
 
         def track_vis(_):
             R, t, feat_mp, n_in, vis, keep = mt.track_step_multi(
                 m, bank, R_pred, t_pred, rig_kind, C, rig, W, H,
-                radius, min_last)
+                radius, min_last, map_cap=cfg.track_map_cap)
             return (R, t, v_pred, c.bg, c.ba, feat_mp, n_in, vis, keep)
 
         R1, t1, v1, bg1, ba1, feat_mp1, n1, vis1, keep1 = jax.lax.cond(
@@ -681,7 +688,7 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         def wide(_):
             R, t, feat_mp, n_in, vis, keep = mt.track_step_multi(
                 m, bank, c.R, c.p, rig_kind, C, rig, W, H,
-                cfg.relost_radius, min_last)
+                cfg.relost_radius, min_last, map_cap=cfg.track_map_cap)
             return (R, t, v_pred, c.bg, c.ba, feat_mp, n_in, vis, keep)
 
         retry = n1 < cfg.min_inliers_track

@@ -58,6 +58,16 @@ class System:
                               Sensor.IMU_MULTI, Sensor.IMU_RGBD)
         multi = sensor in (Sensor.STEREO, Sensor.MULTI, Sensor.IMU_STEREO,
                            Sensor.IMU_MULTI)
+        # persistent pre-trained vocabulary (reference: the ORBvoc path
+        # is System's first ctor arg, System.cc:79; binding by content
+        # hash, System.cc:1520-1556). Optional: without one, LoopCloser
+        # trains a session vocabulary from the live map.
+        vocab = None
+        self.vocab_md5 = None
+        voc_path = (s["raw"].get("Vocabulary", {}) or {}).get("path")
+        if voc_path:
+            from ..slam_map import vocabulary as voc_mod
+            vocab, self.vocab_md5 = voc_mod.load(voc_path)
 
         overrides = tracker_overrides or {}
         if multi or sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_RGBD):
@@ -82,7 +92,7 @@ class System:
                 orb=s["orb"], use_imu=inertial,
                 imu_freq=s["imu_frequency"],
                 **overrides)
-            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig,
+            lc = (loop_closing.LoopCloser(vocab, cfg.max_kf, rig=rig,
                                           inertial=inertial,
                                           img_w=s["camera_width"],
                                           img_h=s["camera_height"])
@@ -94,7 +104,7 @@ class System:
             cfg = tracking.TrackerConfig(
                 img_w=s["camera_width"], img_h=s["camera_height"],
                 orb=s["orb"], **overrides)
-            lc = (loop_closing.LoopCloser(None, cfg.max_kf, rig=rig,
+            lc = (loop_closing.LoopCloser(vocab, cfg.max_kf, rig=rig,
                                           img_w=s["camera_width"],
                                           img_h=s["camera_height"])
                   if enable_loop_closing else None)

@@ -552,10 +552,19 @@ def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
     return m, chi
 
 
-def full_map_observations(m: ms.MapState):
+def full_map_observations(m: ms.MapState, cap: int | None = None):
     """Flatten every (keyframe, feature) -> landmark binding of the map
     into BAObservations + the observed-landmark mask. Shared by the
-    whole-map solvers (GBA, FullInertialBA, merge welding BA)."""
+    whole-map solvers (GBA, FullInertialBA, merge welding BA).
+
+    `cap` compacts the table to <= cap VALID rows (cumsum-gather): the
+    masked-dense table is K*F rows but only bound features are real
+    observations, and the matrix-free solvers' cost is driven by
+    gather/scatter row count — without the cap, every whole-map event
+    slows linearly with slab CAPACITY (524k rows at max_kf=256) instead
+    of map content. Overflow beyond `cap` keeps the lowest (oldest
+    keyframe) rows; size the cap above the expected bound count.
+    """
     K, F = m.kf_obs.shape
     kf_local = jnp.repeat(jnp.arange(K), F)
     feat = jnp.tile(jnp.arange(F), K)
@@ -564,6 +573,18 @@ def full_map_observations(m: ms.MapState):
              & m.kf_valid[kf_local])
     mp_safe = jnp.where(valid, mp, 0)
     valid = valid & m.mp_valid[mp_safe]
+    if cap is not None and cap < K * F:
+        order = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        keep = valid & (order < cap)
+        idx = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.where(keep, order, cap)].set(
+                jnp.arange(K * F, dtype=jnp.int32))[:cap]
+        taken = jnp.arange(cap) < jnp.minimum(
+            jnp.sum(valid.astype(jnp.int32)), cap)
+        kf_local = kf_local[idx]
+        feat = feat[idx]
+        mp_safe = mp_safe[idx]
+        valid = taken & valid[idx]
     obs = ba.BAObservations(
         kf=kf_local, mp=mp_safe, cam=m.kf_cam[kf_local, feat],
         uv=m.kf_xy[kf_local, feat], sigma2=m.kf_sigma2[kf_local, feat],
@@ -595,9 +616,11 @@ def _writeback_gba(m: ms.MapState, state, inlier, chi, observed,
     return m
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters"))
+@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters",
+                                   "obs_cap"))
 def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams,
-                   stages=(5, 8), cg_iters: int = 32):
+                   stages=(5, 8), cg_iters: int = 32,
+                   obs_cap: int = 131072):
     """Whole-map bundle adjustment via the matrix-free Schur+PCG path.
 
     (reference: LoopClosing::RunGlobalBundleAdjustment ->
@@ -607,7 +630,7 @@ def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams,
     """
     from ..optim import global_ba
 
-    obs, observed, kf_local, feat = full_map_observations(m)
+    obs, observed, kf_local, feat = full_map_observations(m, obs_cap)
     state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
                         ba=m.kf_ba, points=m.mp_pos)
     K = m.kf_R.shape[0]
@@ -638,7 +661,7 @@ def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
     """
     from ..optim import global_ba
 
-    obs, observed, kf_local, feat = full_map_observations(m)
+    obs, observed, kf_local, feat = full_map_observations(m, 131072)
     M = m.mp_pos.shape[0]
     free_obs = obs.valid & free_mask[obs.kf]
     mp_free = jnp.zeros((M,), bool).at[obs.mp].max(free_obs)
@@ -653,10 +676,12 @@ def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
     return m, chi
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters"))
+@partial(jax.jit, static_argnames=("rig_kind", "stages", "cg_iters",
+                                   "obs_cap"))
 def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
                             rig_kind: int, rig: RigParams,
-                            stages=(4, 6), cg_iters: int = 16):
+                            stages=(4, 6), cg_iters: int = 16,
+                            obs_cap: int = 131072):
     """Whole-map VISUAL-INERTIAL bundle adjustment: the reference's
     FullInertialBA as invoked by the post-loop GBA thread (reference:
     src/LoopClosing.cc:2366-2368 -> Optimizer::FullInertialBA
@@ -669,7 +694,7 @@ def global_inertial_ba_step(m: ms.MapState, pre_b, edge_valid,
     """
     from ..optim import global_ba
 
-    obs, observed, kf_local, feat = full_map_observations(m)
+    obs, observed, kf_local, feat = full_map_observations(m, obs_cap)
     K = m.kf_R.shape[0]
     kf_in = m.kf_valid & (jnp.arange(K) < m.n_kf)
     edge_ok = edge_valid & kf_in[1:] & kf_in[:-1]

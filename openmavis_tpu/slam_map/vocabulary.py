@@ -180,6 +180,50 @@ def transform_sparse(vocab: Vocabulary, desc: jnp.ndarray,
     return word.astype(jnp.int32), jnp.maximum(wt, 0.0)
 
 
+def save(path: str, vocab: Vocabulary) -> str:
+    """Persist a trained vocabulary (npz) with a content hash.
+
+    The reference ships a pre-trained 1M-word ORBvoc and binds loaded
+    maps to it by MD5 (System.cc:1520-1556 ComputeMD5 of the vocabulary
+    file); here the hash is stored inside the file and returned so
+    callers can bind artifacts the same way. Returns the hex digest.
+    """
+    import hashlib
+
+    arrays = {f"centers_{i}": np.asarray(c)
+              for i, c in enumerate(vocab.centers)}
+    arrays["idf"] = np.asarray(vocab.idf)
+    blob = b"".join(a.tobytes() for a in arrays.values())
+    digest = hashlib.md5(blob).hexdigest()
+    np.savez_compressed(path, k=np.asarray(vocab.k),
+                        levels=np.asarray(len(vocab.centers)),
+                        md5=np.asarray(digest), **arrays)
+    return digest
+
+
+def load(path: str) -> tuple:
+    """Load a persisted vocabulary. Returns (Vocabulary, md5 hex digest);
+    raises ValueError if the stored hash does not match the content
+    (the reference refuses a map whose vocabulary checksum differs)."""
+    import hashlib
+
+    with np.load(path) as data:
+        levels = int(data["levels"])
+        centers = tuple(jnp.asarray(data[f"centers_{i}"])
+                        for i in range(levels))
+        idf = jnp.asarray(data["idf"])
+        k = int(data["k"])
+        stored = str(data["md5"])
+        blob = b"".join(np.asarray(data[f"centers_{i}"]).tobytes()
+                        for i in range(levels))
+        blob += np.asarray(data["idf"]).tobytes()
+    digest = hashlib.md5(blob).hexdigest()
+    if digest != stored:
+        raise ValueError(f"vocabulary {path}: content hash {digest} != "
+                         f"stored {stored} (corrupt or tampered file)")
+    return Vocabulary(centers=centers, idf=idf, k=k), digest
+
+
 def l1_score_sparse(word_a, wt_a, word_b, wt_b, n_words: int):
     """L1 similarity between two word-sparse BoW vectors.
 

@@ -246,3 +246,35 @@ class TestSparseKeyframeDB:
                 vocab.n_words)
             hits += int(np.asarray(top)[0] == p)
         assert hits >= int(0.9 * n_places), hits
+
+
+def test_vocabulary_save_load_roundtrip(tmp_path):
+    """Persistent vocabulary with content-hash binding (reference: the
+    shipped ORBvoc + MD5 binding, System.cc:1520-1556)."""
+    import numpy as np
+    from openmavis_tpu.slam_map import vocabulary as voc
+
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 2, (4000, 256)).astype(np.int8)
+    v = voc.train(desc, k=4, levels=3)
+    path = str(tmp_path / "voc.npz")
+    digest = voc.save(path, v)
+    v2, digest2 = voc.load(path)
+    assert digest == digest2 and len(digest) == 32
+    assert v2.n_words == v.n_words and v2.k == v.k
+    # identical quantization after the roundtrip
+    q = rng.integers(0, 2, (64, 256)).astype(np.int8)
+    import jax.numpy as jnp
+    np.testing.assert_array_equal(
+        np.asarray(voc.word_ids(v, jnp.asarray(q))),
+        np.asarray(voc.word_ids(v2, jnp.asarray(q))))
+    # corruption is refused
+    import numpy as _np
+    data = dict(_np.load(path))
+    data["idf"] = data["idf"] + 1.0
+    _np.savez_compressed(path, **data)
+    try:
+        voc.load(path)
+        assert False, "corrupt vocabulary accepted"
+    except ValueError:
+        pass
