@@ -101,7 +101,12 @@ def parse_args(argv=None):
     # --max-mp 32768 --track-cap 8192, recorded in PERF.md)
     p.add_argument("--max-kf", type=int, default=64)
     p.add_argument("--max-mp", type=int, default=16384)
-    p.add_argument("--fpd", type=int, default=8,
+    # measured r4: chunked dispatch (fpd=8) costs ~3 fps vs per-frame
+    # dispatch at identical ATE — the combined one-program-per-frame
+    # path already keeps the relay pipelined, so the scan only adds
+    # compile complexity. Chunking stays available for transports where
+    # per-dispatch overhead dominates.
+    p.add_argument("--fpd", type=int, default=1,
                    help="frames per device dispatch")
     p.add_argument("--gba-steps", type=int, default=None,
                    help="amortized post-loop GBA budget (None = default)")
@@ -151,9 +156,6 @@ def main(argv=None):
         ba_window=8, imu_init_kfs=6,
         kf_max_interval_s=args.kf_interval,
         temporal_refs=2,
-        # 8 frames per device dispatch: the ~20 ms fixed relay overhead
-        # per dispatch amortizes to ~2.5 ms/frame (PERF.md transport
-        # model); the scan body is the identical per-frame step
         frames_per_dispatch=args.fpd,
         track_map_cap=args.track_cap,
         # local-map tracking (reference: TrackLocalMap's covisible window,

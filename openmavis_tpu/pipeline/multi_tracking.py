@@ -597,18 +597,14 @@ def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
             kf_ba=jnp.tile(res.ba, (K, 1)))
         bias_new = jnp.concatenate([res.bg, res.ba])
 
-        # whole-map FullInertialBA (matrix-free Schur+PCG)
-        kf_local = jnp.repeat(jnp.arange(K), CF)
-        feat = jnp.tile(jnp.arange(CF), K)
-        mp = m.kf_obs[kf_local, feat]
-        valid = ((mp >= 0) & m.kf_feat_valid[kf_local, feat]
-                 & m.kf_valid[kf_local])
-        mp_safe = jnp.where(valid, mp, 0)
-        valid = valid & m.mp_valid[mp_safe]
-        obs = ba.BAObservations(
-            kf=kf_local, mp=mp_safe, cam=m.kf_cam[kf_local, feat],
-            uv=m.kf_xy[kf_local, feat],
-            sigma2=m.kf_sigma2[kf_local, feat], valid=valid)
+        # whole-map FullInertialBA (matrix-free Schur+PCG); the
+        # observation table is compacted to valid rows so the event cost
+        # follows map CONTENT, not slab capacity (see
+        # tracking.full_map_observations)
+        obs, observed, kf_local, feat = mono.full_map_observations(
+            m, 131072)
+        valid = obs.valid
+        mp_safe = obs.mp
         # re-linearize the chain at the refreshed bias (first-order
         # Reintegrate analog)
         pre2 = jax.vmap(pre_mod.rebias, in_axes=(0, None))(pre_b,
@@ -618,8 +614,6 @@ def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
             R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg, ba=m.kf_ba,
             points=m.mp_pos)
         fixed = (jnp.arange(K) < 1) | ~m.kf_valid
-        M = m.mp_pos.shape[0]
-        observed = jnp.zeros((M,), bool).at[mp_safe].max(valid)
         # sequential-depth budget: each LM iteration costs cg_iters
         # latency-bound CG matvecs (~10 ms each at Atlas capacity — the
         # scatter/gather ops of the matrix-free operator have a ~1-2 ms
