@@ -115,6 +115,9 @@ def parse_args(argv=None):
     p.add_argument("--track-cap", type=int, default=0,
                    help="local-map landmark cap for per-frame tracking "
                         "(0 = whole map)")
+    p.add_argument("--lc-arg", action="append", default=[],
+                   help="extra make_lc_step kwargs as key=value "
+                        "(repeatable; numbers parsed)")
     p.add_argument("--no-lc", action="store_true")
     p.add_argument("--no-microbench", action="store_true")
     p.add_argument("--metric", default="multi_inertial_slam_fps")
@@ -184,6 +187,16 @@ def main(argv=None):
     lc_kw = dict(score_min=args.score_min, temporal=2)
     if args.gba_steps is not None:
         lc_kw["gba_steps"] = args.gba_steps
+    for kv in args.lc_arg:
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        lc_kw[k] = v
 
     def run():
         # device-side loop closing (pipeline/streaming_lc.py) runs inside

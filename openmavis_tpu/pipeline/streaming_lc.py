@@ -114,7 +114,7 @@ def _covis_edges(cov, s0, R_cw, t_cw, n_kf, n_edges: int,
 
 def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                  img_w: float, img_h: float,
-                 score_min: int = 40,
+                 score_min: int = 40, covis_floor: bool = True,
                  min_pairs: int = 20, min_group: int = 25,
                  temporal: int = 2, recent_exclude: int = 8,
                  covis_exclude: int = 15, cov_edge_threshold: int = 30,
@@ -293,12 +293,15 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             # a candidate must look at least as similar as the weakest
             # currently-connected keyframe, with `score_min` as an
             # absolute lower bound
-            neigh = ((cov[slot] >= covis_exclude) & m.kf_valid
-                     & (idx < m.n_kf) & (idx != slot))
-            min_cov = jnp.min(jnp.where(neigh, scores, 1 << 24))
-            floor = jnp.where(jnp.any(neigh),
-                              jnp.maximum(score_min, min_cov),
-                              score_min)
+            if covis_floor:
+                neigh = ((cov[slot] >= covis_exclude) & m.kf_valid
+                         & (idx < m.n_kf) & (idx != slot))
+                min_cov = jnp.min(jnp.where(neigh, scores, 1 << 24))
+                floor = jnp.where(jnp.any(neigh),
+                                  jnp.maximum(score_min, min_cov),
+                                  score_min)
+            else:
+                floor = score_min
             cand_ok = sc[cand_new] >= floor
 
             # pending hypothesis takes priority (temporal consistency)
