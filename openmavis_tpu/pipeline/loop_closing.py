@@ -488,7 +488,18 @@ class LoopCloser:
         ii, jj = np.nonzero(np.triu(cov_np, 2)
                             >= cfg.covis_edge_threshold)
         keep = (ii < n_kf) & (jj < n_kf)
-        ii, jj = ii[keep][:128], jj[keep][:128]
+        ii, jj = ii[keep], jj[keep]
+        # cap the edge set at the HIGHEST-covisibility 128 (the essential
+        # graph keeps all high-covisibility edges; when capacity forces a
+        # cap, weight order preserves its semantics —
+        # reference: src/Optimizer.cc:1826 OptimizeEssentialGraph)
+        if len(ii) > 128:
+            order = np.argsort(-cov_np[ii, jj], kind="stable")[:128]
+            dropped = len(ii) - 128
+            ii, jj = ii[order], jj[order]
+            print(f"[loop_closing] covisibility edge cap: kept top 128 "
+                  f"of {len(order) + dropped} by weight "
+                  f"({dropped} dropped)")
         if len(ii) > 0:
             i_j = jnp.asarray(ii, jnp.int32)
             j_j = jnp.asarray(jj, jnp.int32)

@@ -106,6 +106,30 @@ def _feat_mp_from(idx, keep, CF, M):
         jnp.where(keep, jnp.arange(M, dtype=jnp.int32), -1))
 
 
+def _compact_matches(matched, cap: int):
+    """Exact-capacity compaction of the matched-landmark rows.
+
+    The sequential pose-opt LM (4 rounds x 7 iters) evaluates residuals/
+    Jacobians once per iteration; running it over the full M-landmark slab
+    made per-frame tracking cost O(slab capacity). Matches are injective
+    into each camera's F-feature band, so their count is bounded by C*F —
+    compacting once to `cap`=C*F rows cuts EVERY one of the ~28 sequential
+    evaluations by M/cap (8x at the flagship 16k slab) for the price of a
+    single cumsum-gather.
+
+    Returns (rows [cap] landmark ids, taken [cap] bool).
+    """
+    M = matched.shape[0]
+    order = jnp.cumsum(matched.astype(jnp.int32)) - 1
+    keep = matched & (order < cap)
+    rows = jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.where(keep, order, cap)].set(
+        jnp.arange(M, dtype=jnp.int32))[:cap]
+    taken = jnp.arange(cap) < jnp.minimum(
+        jnp.sum(matched.astype(jnp.int32)), cap)
+    return rows, taken
+
+
 def _local_map_compact(m: ms.MapState, min_last_kf, cap: int):
     """Gather the <= `cap` most-recently-observed visible landmarks into
     a compact sub-map for per-frame tracking.
@@ -135,11 +159,13 @@ def _local_map_compact(m: ms.MapState, min_last_kf, cap: int):
     return sub, inv, used
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap"))
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap",
+                                   "po_rounds", "po_iters"))
 def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
                      rig_kind: int, n_cams: int, rig: RigParams,
                      img_w: float, img_h: float, radius,
-                     min_last_kf=-1, map_cap: int = 0):
+                     min_last_kf=-1, map_cap: int = 0,
+                     po_rounds: int = 4, po_iters: int = 7):
     """Local-map projection tracking across all camera bands + pose opt.
 
     `map_cap` > 0 compacts the tracked landmark set to the cap (see
@@ -162,9 +188,14 @@ def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
     uv_obs = bank["xy"][safe_idx]
     sigma2 = bank["sigma2"][safe_idx]
     cam_idx = bank["cam"][safe_idx]
-    R, t, inlier, n_in = pose_opt.pose_optimization(
-        R_pred, t_pred, mt_.mp_pos, cam_idx, uv_obs, sigma2,
-        matched & used, rig)
+    # compact matched rows to C*F before the sequential LM (see
+    # _compact_matches); inliers scatter back to the M-row mask after
+    rows, taken = _compact_matches(matched & used, CF)
+    R, t, inlier_c, n_in = pose_opt.pose_optimization(
+        R_pred, t_pred, mt_.mp_pos[rows], cam_idx[rows], uv_obs[rows],
+        sigma2[rows], taken, rig, rounds=po_rounds,
+        iters_per_round=po_iters)
+    inlier = jnp.zeros_like(matched).at[rows].max(inlier_c & taken)
 
     keep = matched & inlier
     feat_mp = _feat_mp_from(idx, keep, CF, Mt)
@@ -177,11 +208,13 @@ def track_step_multi(m: ms.MapState, bank, R_pred, t_pred,
     return R, t, feat_mp, n_in, vis, keep
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap"))
+@partial(jax.jit, static_argnames=("rig_kind", "n_cams", "map_cap",
+                                   "po_rounds", "po_iters"))
 def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
                         rig_kind: int, n_cams: int, rig: RigParams,
                         img_w: float, img_h: float, radius,
-                        min_last_kf=-1, map_cap: int = 0):
+                        min_last_kf=-1, map_cap: int = 0,
+                        po_rounds: int = 4, po_iters: int = 7):
     """VI local-map tracking: match from the IMU-predicted pose, then
     optimize the FULL 15-dof state against visual matches + the
     preintegrated edge to the anchor (last frame) + bias random walk.
@@ -208,9 +241,14 @@ def track_step_multi_vi(m: ms.MapState, bank, anchor, state_pred, pre,
     sigma2 = bank["sigma2"][safe_idx]
     cam_idx = bank["cam"][safe_idx]
 
-    state, inlier, n_in = pose_opt.pose_inertial_optimization(
-        state_pred, anchor, pre, mt_.mp_pos, cam_idx, uv_obs, sigma2,
-        matched & used, rig)
+    # compact matched rows to C*F before the sequential LM (see
+    # _compact_matches); inliers scatter back to the M-row mask after
+    rows, taken = _compact_matches(matched & used, CF)
+    state, inlier_c, n_in = pose_opt.pose_inertial_optimization(
+        state_pred, anchor, pre, mt_.mp_pos[rows], cam_idx[rows],
+        uv_obs[rows], sigma2[rows], taken, rig, rounds=po_rounds,
+        iters_per_round=po_iters)
+    inlier = jnp.zeros_like(matched).at[rows].max(inlier_c & taken)
 
     keep = matched & inlier
     feat_mp = _feat_mp_from(idx, keep, CF, Mt)
@@ -549,10 +587,10 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
     return m, bias
 
 
-@partial(jax.jit, static_argnames=("rig_kind", "fix_scale"))
+@partial(jax.jit, static_argnames=("rig_kind", "fix_scale", "obs_cap"))
 def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
                   prior_g, prior_a, rig_kind: int, fix_scale: bool,
-                  rig: RigParams):
+                  rig: RigParams, obs_cap: int = 131072):
     """One stage of the staged IMU initialization as ONE device program:
     InertialOptimization (scale/gravity/bias/velocities, poses fixed) ->
     gravity-align + scale the map -> whole-map FullInertialBA, gated on
@@ -602,7 +640,7 @@ def imu_init_step(m: ms.MapState, pre_b, edge_valid, bias, first,
         # follows map CONTENT, not slab capacity (see
         # tracking.full_map_observations)
         obs, observed, kf_local, feat = mono.full_map_observations(
-            m, 131072)
+            m, obs_cap)
         valid = obs.valid
         mp_safe = obs.mp
         # re-linearize the chain at the refreshed bias (first-order

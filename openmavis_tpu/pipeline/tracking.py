@@ -372,14 +372,21 @@ def cull_keyframes(m: ms.MapState, current_slot, keep_recent: int = 5,
     idx = jnp.arange(K)
     protected = (idx > current_slot - keep_recent) | (idx <= 1)
     if inertial:
-        # gap the cull would open between temporal neighbors
-        t_prev = m.kf_time[jnp.maximum(idx - 1, 0)]
-        t_next = m.kf_time[jnp.minimum(idx + 1, K - 1)]
+        # gap the cull would open between temporal neighbors; a culled
+        # (invalid) neighbor slot carries a stale kf_time that would
+        # underestimate the true surviving-neighbor gap, so an invalid
+        # neighbor disallows the cull outright (the reference checks the
+        # actual surviving mPrevKF/mNextKF, src/LocalMapping.cc:974)
+        prev_i = jnp.maximum(idx - 1, 0)
+        next_i = jnp.minimum(idx + 1, K - 1)
+        t_prev = m.kf_time[prev_i]
+        t_next = m.kf_time[next_i]
         gap = t_next - t_prev
+        neigh_ok = m.kf_valid[prev_i] & m.kf_valid[next_i]
         old_enough = idx <= current_slot - min_map_kfs
-        allowed = ((gap < recent_gap_s)
-                   | (jnp.asarray(imu_ok) & old_enough
-                      & (gap < max_gap_s)))
+        allowed = neigh_ok & ((gap < recent_gap_s)
+                              | (jnp.asarray(imu_ok) & old_enough
+                                 & (gap < max_gap_s)))
         protected = (protected | ~allowed
                      | (jnp.sum(m.kf_valid.astype(jnp.int32))
                         <= min_map_kfs))
@@ -643,9 +650,53 @@ def global_ba_step(m: ms.MapState, rig_kind: int, rig: RigParams,
     return m, chi
 
 
-@partial(jax.jit, static_argnames=("rig_kind",))
+def distributed_global_ba_step(m: ms.MapState, rig_kind: int,
+                               rig: RigParams, mesh,
+                               pre_b=None, edge_valid=None,
+                               stages=(4, 6), cg_iters: int = 16,
+                               obs_cap: int = 131072):
+    """Whole-map (inertial when `pre_b` is given) GBA SHARDED over a
+    device mesh — the product-path entry the live System dispatches when
+    more than one device is available (System.run_global_ba(mesh=...)).
+
+    The landmark state, Hessian blocks and observation table partition
+    across the mesh (parallel/dist_ba.distributed_global_ba_lsharded);
+    per CG matvec one [K, D] psum rides ICI. This is the TPU-native form
+    of the reference's background GBA thread over the whole map
+    (src/LoopClosing.cc:2351 RunGlobalBundleAdjustment) scaled past one
+    chip — the BASELINE.json north-star workload.
+
+    Host-side observation bucketing reads the map once (one d2h); use at
+    event cadence (post-loop, post-merge, shutdown), like the reference's
+    GBA thread.
+    """
+    from ..parallel import dist_ba
+
+    obs, observed, kf_local, feat = full_map_observations(m, obs_cap)
+    K = m.kf_R.shape[0]
+    state0 = ba.BAState(R=m.kf_R, t=m.kf_t, v=m.kf_v, bg=m.kf_bg,
+                        ba=m.kf_ba, points=m.mp_pos)
+    edges = None
+    if pre_b is not None:
+        kf_in = m.kf_valid & (jnp.arange(K) < m.n_kf)
+        edge_ok = edge_valid & kf_in[1:] & kf_in[:-1]
+        bias_k = jnp.concatenate([m.kf_bg, m.kf_ba], axis=-1)[:-1]
+        pre2 = jax.vmap(pre_mod.rebias)(pre_b, bias_k)
+        edges = ba.InertialEdges(pre=pre2, valid=edge_ok)
+        fixed = (jnp.arange(K) < 1) | ~m.kf_valid
+    else:
+        fixed = (jnp.arange(K) < 2) | ~m.kf_valid
+    state, inlier, chi = dist_ba.distributed_global_ba_lsharded(
+        mesh, state0, obs, rig, fixed, point_fixed=~observed,
+        edges=edges, stages=stages, cg_iters=cg_iters)
+    m = _writeback_gba(m, state, inlier, chi, observed, kf_local, feat,
+                       obs.valid, with_imu=pre_b is not None)
+    return m, chi
+
+
+@partial(jax.jit, static_argnames=("rig_kind", "obs_cap"))
 def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
-                    rig: RigParams):
+                    rig: RigParams, obs_cap: int = 131072):
     """Weld-window bundle adjustment after an Atlas map merge.
 
     (reference: the welding LocalBundleAdjustment MergeLocal runs over the
@@ -661,7 +712,7 @@ def welding_ba_step(m: ms.MapState, free_mask, rig_kind: int,
     """
     from ..optim import global_ba
 
-    obs, observed, kf_local, feat = full_map_observations(m, 131072)
+    obs, observed, kf_local, feat = full_map_observations(m, obs_cap)
     M = m.mp_pos.shape[0]
     free_obs = obs.valid & free_mask[obs.kf]
     mp_free = jnp.zeros((M,), bool).at[obs.mp].max(free_obs)

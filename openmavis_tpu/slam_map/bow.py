@@ -40,12 +40,33 @@ BITS = 15
 TABLE_W = 1 << BITS
 W = N_TABLES * TABLE_W
 
-# fixed pseudo-random bit positions (deterministic across processes —
-# signatures are part of serialized map state)
-_POS = np.sort(np.stack([
-    np.random.default_rng(7 + t).choice(256, BITS, replace=False)
-    for t in range(N_TABLES)
-]), axis=1)  # [N_TABLES, BITS]
+# fixed pseudo-random bit positions (deterministic across processes AND
+# library versions — signatures are part of serialized map state, so the
+# derivation must not depend on any RNG's bit stream; SHA-256 of a fixed
+# seed string is stable everywhere)
+def _stable_positions(n_tables: int, bits: int) -> np.ndarray:
+    import hashlib
+
+    tables = []
+    for t in range(n_tables):
+        chosen: list[int] = []
+        seen: set[int] = set()
+        ctr = 0
+        while len(chosen) < bits:
+            digest = hashlib.sha256(
+                f"openmavis-bow-{t}-{ctr}".encode()).digest()
+            ctr += 1
+            for byte in digest:
+                if byte not in seen:
+                    seen.add(byte)
+                    chosen.append(byte)
+                    if len(chosen) == bits:
+                        break
+        tables.append(sorted(chosen))
+    return np.asarray(tables, np.int64)
+
+
+_POS = _stable_positions(N_TABLES, BITS)  # [N_TABLES, BITS]
 _POW2 = (1 << np.arange(BITS)).astype(np.int32)
 
 

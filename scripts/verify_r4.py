@@ -157,7 +157,7 @@ def main():
     t0 = time.perf_counter()
     tr = streaming_vi.StreamingVITracker(
         rig2, scfg, noise, seed=0,
-        device_lc=dict(sub=4, score_min=30, temporal=2))
+        device_lc=dict(score_min=30, temporal=2))
     imu_iter = iter(imu)
     pending = next(imu_iter, None)
     for i in range(NF):
