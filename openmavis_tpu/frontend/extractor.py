@@ -50,6 +50,12 @@ class OrbConfig:
     cell: int = 32
     topk_per_cell: int = 8
     border: int = 16
+    # descriptor sampling path: "patch" = round-4 block-row patch gather
+    # + dense moment/bilinear contractions (9.9 ms/frame at the flagship
+    # budget); "stacked" = round-3 per-tap row gathers (41.6 ms/frame).
+    # Same math (IC angles + bilinear rBRIEF); kept switchable for
+    # accuracy A/B (VERDICT r4: bisect the ATE regression).
+    sampling: str = "patch"
 
     def per_level_budget(self):
         """Geometric feature split across levels (reference:
@@ -118,14 +124,21 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Features:
     stack = jnp.stack([
         jnp.pad(im, ((0, h0 - im.shape[0]), (0, w0 - im.shape[1])),
                 mode="edge") for _, im in used_levels])
-    # patch-extraction formulation: one block-row gather per keypoint,
-    # then dense moment/bilinear math (see orb.extract_patches — replaces
-    # the per-tap gathers that dominated extraction time, PERF.md r3)
-    patches, _, _ = orb.extract_patches(stack, lvid, kp)
-    angles = orb.patch_angles(patches)
-    patches_b, oxb, oyb = orb.extract_patches(pyramid.blur(stack),
-                                              lvid, kp)
-    desc = orb.patch_describe(patches_b, kp, oxb, oyb, angles)
+    if cfg.sampling == "patch":
+        # patch-extraction formulation: one block-row gather per keypoint,
+        # then dense moment/bilinear math (see orb.extract_patches —
+        # replaces the per-tap gathers that dominated extraction time,
+        # PERF.md r3)
+        patches, _, _ = orb.extract_patches(stack, lvid, kp)
+        angles = orb.patch_angles(patches)
+        patches_b, oxb, oyb = orb.extract_patches(pyramid.blur(stack),
+                                                  lvid, kp)
+        desc = orb.patch_describe(patches_b, kp, oxb, oyb, angles)
+    else:
+        # round-3 stacked-gather path (per-tap row gathers)
+        angles = orb.keypoint_angles_stacked(stack, lvid, kp)
+        desc = orb.describe_stacked(pyramid.blur(stack), lvid, kp,
+                                    angles)
     desc = jnp.where(valid[:, None], desc, 0)
 
     scale_of = jnp.asarray([cfg.scale ** lv for lv, _ in used_levels],

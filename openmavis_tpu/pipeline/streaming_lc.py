@@ -247,15 +247,18 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
         if gba_steps > 0:
             from . import tracking as trk
 
+            obs_cap = int(getattr(cfg, "obs_cap", 131072))
+
             def gba_one(m):
                 if inertial:
                     pre_b = jax.tree.map(lambda x: x[1:], c.chain)
                     m2, _ = trk.global_inertial_ba_step(
                         m, pre_b, c.chain_valid[1:], rig_kind, rig,
-                        stages=(1,), cg_iters=gba_cg)
+                        stages=(1,), cg_iters=gba_cg, obs_cap=obs_cap)
                 else:
                     m2, _ = trk.global_ba_step(
-                        m, rig_kind, rig, stages=(1,), cg_iters=gba_cg)
+                        m, rig_kind, rig, stages=(1,), cg_iters=gba_cg,
+                        obs_cap=obs_cap)
                 return m2
 
             do_gba = new_kf & (lcc.gba_left > 0)
@@ -308,74 +311,92 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             has_pending = (lcc.cand >= 0) & (slot > lcc.pend_slot)
             cand = jnp.where(has_pending, lcc.cand, cand_new)
 
-            ok_s, n_pairs, s_n, R_n, t_n = _solve_candidate(
-                m, k1, slot, cand, rig)
+            def attempt(m, c2, lcc):
+                """RANSAC + refine + group verify + (maybe) correction —
+                only dispatched when retrieval produced a candidate above
+                the floor or a pending hypothesis awaits confirmation;
+                keyframes without a plausible candidate skip the whole
+                chain (reference: LoopClosing::NewDetectCommonRegions
+                returns early on empty candidate lists,
+                src/LoopClosing.cc:401-447)."""
+                ok_s, n_pairs, s_n, R_n, t_n = _solve_candidate(
+                    m, k1, slot, cand, rig)
 
-            # hypothesis to verify: recomposed pending Sim3 when pending,
-            # else the fresh solve (S'(slot->cand) = S_p o T(pend<-slot))
-            R_o, t_o = m.kf_R[lcc.pend_slot], m.kf_t[lcc.pend_slot]
-            R_s, t_s = m.kf_R[slot], m.kf_t[slot]
-            R_re = lcc.R @ R_o.T @ R_s
-            t_re = lcc.s * (lcc.R @ (R_o.T @ (t_s - t_o))) + lcc.t
-            s_h = jnp.where(has_pending, lcc.s, s_n)
-            R_h = jnp.where(has_pending, R_re, R_n)
-            t_h = jnp.where(has_pending, t_re, t_n)
+                # hypothesis to verify: recomposed pending Sim3 when
+                # pending, else the fresh solve
+                # (S'(slot->cand) = S_p o T(pend<-slot))
+                R_o, t_o = m.kf_R[lcc.pend_slot], m.kf_t[lcc.pend_slot]
+                R_s, t_s = m.kf_R[slot], m.kf_t[slot]
+                R_re = lcc.R @ R_o.T @ R_s
+                t_re = (lcc.s * (lcc.R @ (R_o.T @ (t_s - t_o)))
+                        + lcc.t)
+                s_h = jnp.where(has_pending, lcc.s, s_n)
+                R_h = jnp.where(has_pending, R_re, R_n)
+                t_h = jnp.where(has_pending, t_re, t_n)
 
-            g_score = lc_mod.group_projection_score(
-                m, slot, cand, cov[cand], s_h, R_h, t_h, rig_kind,
-                n_cams, rig, img_w, img_h)
-            # a fresh hypothesis must pass BOTH the retrieval-score gate
-            # and the solve; excluded keyframes (argmax fallback when all
-            # scores are -1) can never be verified
-            verified = (g_score >= min_group) & (has_pending
-                                                 | (cand_ok & ok_s))
-            if inertial:
-                # gravity-direction gate: the implied world correction
-                # must not tilt roll/pitch (gravity is observable), and
-                # yaw must stay sane ("BAD LOOP" branch, reference:
-                # src/LoopClosing.cc:307-335 uses |phi_xy| < 0.008;
-                # tilt_max defaults wider (0.08) because this estimator's
-                # measured tilt drift on long streams is 0.02-0.06 rad —
-                # the gate's job here is refusing gross mis-orientations,
-                # not genuine loops under small tilt drift)
-                R_corr = m.kf_R[cand] @ R_h @ m.kf_R[slot].T
-                phi = lie.so3_log(R_corr)
-                verified = (verified
-                            & (jnp.abs(phi[0]) < tilt_max)
-                            & (jnp.abs(phi[1]) < tilt_max)
-                            & (jnp.abs(phi[2]) < yaw_max))
+                g_score = lc_mod.group_projection_score(
+                    m, slot, cand, cov[cand], s_h, R_h, t_h, rig_kind,
+                    n_cams, rig, img_w, img_h)
+                # a fresh hypothesis must pass BOTH the retrieval-score
+                # gate and the solve; excluded keyframes (argmax
+                # fallback when all scores are -1) can never be verified
+                verified = (g_score >= min_group) & (has_pending
+                                                     | (cand_ok & ok_s))
+                if inertial:
+                    # gravity-direction gate: the implied world
+                    # correction must not tilt roll/pitch (gravity is
+                    # observable), and yaw must stay sane ("BAD LOOP"
+                    # branch, reference: src/LoopClosing.cc:307-335 uses
+                    # |phi_xy| < 0.008; tilt_max defaults wider (0.08)
+                    # because this estimator's measured tilt drift on
+                    # long streams is 0.02-0.06 rad — the gate's job
+                    # here is refusing gross mis-orientations, not
+                    # genuine loops under small tilt drift)
+                    R_corr = m.kf_R[cand] @ R_h @ m.kf_R[slot].T
+                    phi = lie.so3_log(R_corr)
+                    verified = (verified
+                                & (jnp.abs(phi[0]) < tilt_max)
+                                & (jnp.abs(phi[1]) < tilt_max)
+                                & (jnp.abs(phi[2]) < yaw_max))
 
-            count = jnp.where(
-                verified, jnp.where(has_pending, lcc.count + 1, 1), 0)
-            # correction Sim3: prefer a fresh solve at the confirming
-            # keyframe; fall back to the group-verified recomposed
-            # pending hypothesis (the RANSAC hit rate per keyframe is
-            # well below 1 — requiring a fresh success at the exact
-            # confirm slot would drop most temporally-consistent loops)
-            confirm = verified & (count >= temporal)
-            s_u = jnp.where(ok_s, s_n, s_h)
-            R_u = jnp.where(ok_s, R_n, R_h)
-            t_u = jnp.where(ok_s, t_n, t_h)
+                count = jnp.where(
+                    verified, jnp.where(has_pending, lcc.count + 1, 1),
+                    0)
+                # correction Sim3: prefer a fresh solve at the
+                # confirming keyframe; fall back to the group-verified
+                # recomposed pending hypothesis (the RANSAC hit rate per
+                # keyframe is well below 1 — requiring a fresh success
+                # at the exact confirm slot would drop most temporally-
+                # consistent loops)
+                confirm = verified & (count >= temporal)
+                s_u = jnp.where(ok_s, s_n, s_h)
+                R_u = jnp.where(ok_s, R_n, R_h)
+                t_u = jnp.where(ok_s, t_n, t_h)
 
-            def fire(m, c2):
-                return _correct(m, c2, slot, cand, s_u, R_u, t_u,
-                                cov, rig)
+                def fire(m, c2):
+                    return _correct(m, c2, slot, cand, s_u, R_u, t_u,
+                                    cov, rig)
 
-            m, c2 = jax.lax.cond(confirm, fire,
-                                 lambda m, c2: (m, c2), m, c2)
-            lcc = lcc._replace(
-                cand=jnp.where(confirm | ~verified, -1, cand),
-                pend_slot=jnp.where(verified & ~confirm, slot,
-                                    -1).astype(jnp.int32),
-                count=jnp.where(confirm, 0, count),
-                s=jnp.where(verified & ~has_pending, s_n, s_h),
-                R=jnp.where(verified & ~has_pending, R_n, R_h),
-                t=jnp.where(verified & ~has_pending, t_n, t_h),
-                n_loops=lcc.n_loops + confirm.astype(jnp.int32),
-                cooldown=jnp.where(confirm, cooldown_kf,
-                                   lcc.cooldown),
-                gba_left=jnp.where(confirm, gba_steps, lcc.gba_left))
-            return m, c2, lcc
+                m, c2x = jax.lax.cond(confirm, fire,
+                                      lambda m, c2: (m, c2), m, c2)
+                lcc2 = lcc._replace(
+                    cand=jnp.where(confirm | ~verified, -1, cand),
+                    pend_slot=jnp.where(verified & ~confirm, slot,
+                                        -1).astype(jnp.int32),
+                    count=jnp.where(confirm, 0, count),
+                    s=jnp.where(verified & ~has_pending, s_n, s_h),
+                    R=jnp.where(verified & ~has_pending, R_n, R_h),
+                    t=jnp.where(verified & ~has_pending, t_n, t_h),
+                    n_loops=lcc.n_loops + confirm.astype(jnp.int32),
+                    cooldown=jnp.where(confirm, cooldown_kf,
+                                       lcc.cooldown),
+                    gba_left=jnp.where(confirm, gba_steps,
+                                       lcc.gba_left))
+                return m, c2x, lcc2
+
+            return jax.lax.cond(cand_ok | has_pending, attempt,
+                                lambda m, c2, lcc: (m, c2, lcc),
+                                m, c2, lcc)
 
         return jax.lax.cond(fresh_kf, process,
                             lambda m, c, lcc: (m, c, lcc), m, c, lcc)

@@ -141,6 +141,17 @@ class VIStreamConfig:
     # Latency rises by (chunk-1) frame periods; throughput is what the
     # reference's realtime budget measures.
     frames_per_dispatch: int = 1
+    # motion-only pose-opt LM schedule (reference: 4 rounds x 10 iters
+    # with chi2 re-gating between rounds, src/Optimizer.cc:855; the
+    # rounds are SEQUENTIAL depth — the dominant per-frame cost — and
+    # with an IMU-predicted warm start fewer converge identically)
+    po_rounds: int = 4
+    po_iters: int = 7
+    # whole-map observation-table cap for FullInertialBA / GBA events
+    # (tracking.full_map_observations): bound observations beyond the cap
+    # drop oldest-keyframe rows silently — size above the expected bound
+    # count (snapshot()["n_obs"] reports the live count)
+    obs_cap: int = 131072
     # per-frame tracking matches against <= this many landmarks (the
     # most recently observed; multi_tracking._local_map_compact) so
     # frame cost is O(cap), independent of slab capacity. 0 = whole map
@@ -358,7 +369,9 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
             pre_b = jax.tree.map(lambda x: x[1:], c.chain)
             m2, bias2, ok = mt.imu_init_step(
                 m, pre_b, edge_valid, bias_of(c), first, prior_g,
-                prior_a, rig_kind, metric, rig)
+                prior_a, rig_kind, metric, rig,
+                obs_cap=min(cfg.obs_cap,
+                            Kmax * C * orb_cfg.n_features))
 
             def apply(m2, c):
                 slot = jnp.maximum(c.last_kf_slot, 0)
@@ -671,14 +684,16 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
                                           bg=c.bg, ba=c.ba)
             st, feat_mp, n_in, vis, keep = mt.track_step_multi_vi(
                 m, bank, anchor, pred, pre_f, rig_kind, C, rig, W, H,
-                radius, min_last, map_cap=cfg.track_map_cap)
+                radius, min_last, map_cap=cfg.track_map_cap,
+                po_rounds=cfg.po_rounds, po_iters=cfg.po_iters)
             return (st.R, st.p, st.v, st.bg, st.ba, feat_mp, n_in, vis,
                     keep)
 
         def track_vis(_):
             R, t, feat_mp, n_in, vis, keep = mt.track_step_multi(
                 m, bank, R_pred, t_pred, rig_kind, C, rig, W, H,
-                radius, min_last, map_cap=cfg.track_map_cap)
+                radius, min_last, map_cap=cfg.track_map_cap,
+                po_rounds=cfg.po_rounds, po_iters=cfg.po_iters)
             return (R, t, v_pred, c.bg, c.ba, feat_mp, n_in, vis, keep)
 
         R1, t1, v1, bg1, ba1, feat_mp1, n1, vis1, keep1 = jax.lax.cond(
@@ -688,7 +703,8 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         def wide(_):
             R, t, feat_mp, n_in, vis, keep = mt.track_step_multi(
                 m, bank, c.R, c.p, rig_kind, C, rig, W, H,
-                cfg.relost_radius, min_last, map_cap=cfg.track_map_cap)
+                cfg.relost_radius, min_last, map_cap=cfg.track_map_cap,
+                po_rounds=cfg.po_rounds, po_iters=cfg.po_iters)
             return (R, t, v_pred, c.bg, c.ba, feat_mp, n_in, vis, keep)
 
         retry = n1 < cfg.min_inliers_track
@@ -1073,6 +1089,56 @@ class StreamingVITracker:
         self.map = m2
         return True
 
+    def run_global_ba(self, mesh=None, stages=(4, 6), cg_iters=16):
+        """Whole-map FullInertialBA over the streamed map, optionally
+        SHARDED over a device mesh (reference: the background GBA thread,
+        src/LoopClosing.cc:2351; the amortized in-stream GBA covers the
+        same semantics at keyframe cadence — this entry is the explicit,
+        scale-out form for event use: post-merge, shutdown refinement,
+        multi-chip offload).
+
+        `mesh`: None = single-chip jitted program (zero host reads);
+        a Mesh / device list / int = landmark-sharded distributed solve
+        through the product path (tracking.distributed_global_ba_step).
+        Synchronizing: call at event cadence, not per frame.
+        Returns chi2 (float when distributed, device scalar otherwise).
+        """
+        from . import tracking as trk
+
+        self._flush()
+        c = self.carry
+        pre_b = jax.tree.map(lambda x: x[1:], c.chain)
+        old_R, old_t = self.map.kf_R, self.map.kf_t
+        if mesh is not None:
+            from ..parallel import dist_ba
+            if isinstance(mesh, int):
+                mesh = dist_ba.make_mesh(jax.devices()[:mesh])
+            elif isinstance(mesh, (list, tuple)):
+                mesh = dist_ba.make_mesh(list(mesh))
+            m2, chi = trk.distributed_global_ba_step(
+                self.map, self.rig.kind, self.rig, mesh,
+                pre_b=pre_b, edge_valid=c.chain_valid[1:],
+                stages=stages, cg_iters=cg_iters,
+                obs_cap=self.cfg.obs_cap)
+        else:
+            m2, chi = trk.global_inertial_ba_step(
+                self.map, pre_b, c.chain_valid[1:], self.rig.kind,
+                self.rig, stages=stages, cg_iters=cg_iters,
+                obs_cap=self.cfg.obs_cap)
+        # re-express the live pose through its reference keyframe in the
+        # refined world (same protocol as maybe_close_loop)
+        ref = jnp.maximum(c.last_kf_slot, 0)
+        R_rel = jnp.swapaxes(old_R[ref], -1, -2) @ c.R
+        t_rel = jnp.einsum("ji,j->i", old_R[ref], c.p - old_t[ref])
+        dR = m2.kf_R[ref] @ jnp.swapaxes(old_R[ref], -1, -2)
+        self.carry = c._replace(
+            R=m2.kf_R[ref] @ R_rel,
+            p=m2.kf_t[ref] + m2.kf_R[ref] @ t_rel,
+            v=dR @ c.v)
+        self.map = m2
+        self._snap = None
+        return chi
+
     def snapshot(self) -> dict:
         """Fetch trajectory + counters in ONE d2h transfer (each transfer
         through the tunneled transport costs a full multi-second round
@@ -1087,6 +1153,12 @@ class StreamingVITracker:
             ok=tr.ok, idx=tr.idx,
             kf_R=self.map.kf_R, kf_t=self.map.kf_t,
             n_kf=self.map.n_kf, n_mp=self.map.n_mp,
+            # live bound-observation count: compare against cfg.obs_cap
+            # to see whether whole-map BA tables are truncating
+            n_obs=jnp.sum(((self.map.kf_obs >= 0)
+                           & self.map.kf_feat_valid
+                           & self.map.kf_valid[:, None])
+                          .astype(jnp.int32)),
             imu_ok=self.carry.imu_ok.astype(jnp.int32),
             viba_stage=self.carry.viba_stage)
         if self.lc_carry is not None:
