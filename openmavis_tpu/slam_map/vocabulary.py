@@ -204,8 +204,20 @@ def save(path: str, vocab: Vocabulary) -> str:
 def load(path: str) -> tuple:
     """Load a persisted vocabulary. Returns (Vocabulary, md5 hex digest);
     raises ValueError if the stored hash does not match the content
-    (the reference refuses a map whose vocabulary checksum differs)."""
+    (the reference refuses a map whose vocabulary checksum differs).
+
+    `.txt` paths are parsed as the DBoW2 text format (the stock ORBvoc.txt
+    the reference loads at startup, include/ORBVocabulary.h:9 +
+    TemplatedVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338); the returned md5
+    is of the raw file, matching System::Shutdown's checksum binding
+    (src/System.cc:1520-1556)."""
     import hashlib
+
+    if str(path).endswith(".txt"):
+        with open(path, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
+        return load_dbow2_text(path), digest
 
     with np.load(path) as data:
         levels = int(data["levels"])
@@ -222,6 +234,133 @@ def load(path: str) -> tuple:
         raise ValueError(f"vocabulary {path}: content hash {digest} != "
                          f"stored {stored} (corrupt or tampered file)")
     return Vocabulary(centers=centers, idf=idf, k=k), digest
+
+
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Parse a DBoW2 text vocabulary (the ORBvoc.txt format) into the
+    dense-array Vocabulary.
+
+    Format (reference: TemplatedVocabulary::loadFromTextFile,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338): the first line is
+    `k L scoring_type weight_type`; every following line is one node —
+    `parent_id is_leaf b0 .. b31 weight` with the 256-bit descriptor as 32
+    bytes. Node ids are implicit (root = 0, then file order); children
+    keep file order under their parent; words are the leaf nodes.
+
+    Idiom shift: DBoW2 walks a pointer tree; here every level becomes a
+    dense [k^(l+1), 256] center table and descent is a batched Hamming
+    argmin (see `transform`). DBoW2 trees are INCOMPLETE — nodes may have
+    fewer than k children, and leaves occur above the last level — which
+    the dense layout absorbs exactly:
+
+    * a missing child slot copies the FIRST child's center — `argmin`
+      breaks ties toward the lower index, so a padded slot never wins;
+    * a leaf above the bottom level continues as a degenerate chain (all
+      child slots carry the leaf's own center), so descent deterministically
+      reaches a unique bottom-level node, which receives the word weight.
+
+    Both give bit-exact descent parity with DBoW2's child-argmin walk.
+    """
+    with open(path, "r") as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leafs, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leafs.append(int(parts[1]) != 0)
+            descs.append([int(b) for b in parts[2:34]])
+            weights.append(float(parts[34]))
+    n_nodes = len(parents)
+    bytes_arr = np.asarray(descs, np.uint8)               # [N, 32]
+    bits = np.unpackbits(bytes_arr, axis=1, bitorder="little")  # [N, 256]
+    bits = bits.astype(np.int8)
+
+    # children of each node, in file order (node ids: 1..N after root 0)
+    children: list[list[int]] = [[] for _ in range(n_nodes + 1)]
+    for i, p in enumerate(parents):
+        children[p].append(i + 1)
+
+    centers = [np.zeros((k ** (lv + 1), 256), np.int8)
+               for lv in range(L)]
+    idf = np.zeros((k ** L,), np.float32)
+
+    # BFS with dense positions; entries: (node_id or None for a leaf
+    # chain, dense_pos, level, chain_center, chain_weight)
+    frontier = [(0, 0)]
+    chain: list[tuple] = []      # (dense_pos, center_bits, weight)
+    for lv in range(L):
+        next_frontier = []
+        next_chain = []
+        for pos, bits_c, w in chain:
+            centers[lv][pos * k] = bits_c
+            for s in range(1, k):
+                centers[lv][pos * k + s] = bits_c
+            if lv == L - 1:
+                idf[pos * k] = w
+            else:
+                next_chain.append((pos * k, bits_c, w))
+        for node, pos in frontier:
+            ch = children[node]
+            if not ch:
+                continue
+            first_bits = bits[ch[0] - 1]
+            for s in range(k):
+                if s < len(ch):
+                    c = ch[s]
+                    cb = bits[c - 1]
+                    centers[lv][pos * k + s] = cb
+                    is_leaf = leafs[c - 1] or not children[c]
+                    if is_leaf:
+                        if lv == L - 1:
+                            idf[pos * k + s] = weights[c - 1]
+                        else:
+                            next_chain.append((pos * k + s, cb,
+                                               weights[c - 1]))
+                    else:
+                        next_frontier.append((c, pos * k + s))
+                else:
+                    # pad: copy of first child (argmin tie -> slot 0)
+                    centers[lv][pos * k + s] = first_bits
+        frontier = next_frontier
+        chain = next_chain
+
+    return Vocabulary(
+        centers=tuple(jnp.asarray(c) for c in centers),
+        idf=jnp.asarray(idf), k=k)
+
+
+def save_dbow2_text(path: str, vocab: Vocabulary) -> None:
+    """Write a trained (complete-tree) Vocabulary in the DBoW2 text
+    format, byte-layout compatible with `load_dbow2_text` /
+    TemplatedVocabulary::loadFromTextFile (leaves at the bottom level
+    carry the idf weights; internal weights are 0)."""
+    k = vocab.k
+    L = len(vocab.centers)
+    idf = np.asarray(vocab.idf)
+    lines = [f"{k} {L} 0 0"]
+    # node ids: root 0; level-l nodes appended in dense order — a node at
+    # level l, dense pos p has id  offset(l) + p  with
+    # offset(l) = 1 + k + ... + k^l   (geometric prefix, root excluded)
+    offsets = [1]
+    for lv in range(1, L):
+        offsets.append(offsets[-1] + k ** lv)
+
+    for lv, cen in enumerate(vocab.centers):
+        cen_np = np.asarray(cen, np.int8)
+        packed = np.packbits(cen_np.astype(np.uint8), axis=1,
+                             bitorder="little")            # [n, 32]
+        n = cen_np.shape[0]
+        for p in range(n):
+            parent = 0 if lv == 0 else offsets[lv - 1] + p // k
+            is_leaf = 1 if lv == L - 1 else 0
+            w = float(idf[p]) if is_leaf else 0.0
+            byte_str = " ".join(str(int(b)) for b in packed[p])
+            lines.append(f"{parent} {is_leaf} {byte_str} {w}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def l1_score_sparse(word_a, wt_a, word_b, wt_b, n_words: int):
