@@ -56,6 +56,19 @@ class System:
         n_cams = rig.params.shape[0]
         inertial = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
                               Sensor.IMU_MULTI, Sensor.IMU_RGBD)
+        # stereo undistort-rectify: when the settings produced
+        # rectification maps (distorted-pinhole stereo with a
+        # Stereo.T_c1_c2 — reference: Settings.cc:683-725), the tracker
+        # runs on the RECTIFIED rig (shared ideal pinhole, pure-baseline
+        # extrinsics) and every incoming pair is remapped on device
+        # (cv::remap analog, one bilinear gather per camera)
+        self._rect_maps = None
+        if (s.get("rect") is not None
+                and sensor in (Sensor.STEREO, Sensor.IMU_STEREO)):
+            from ..frontend import rectify as rect_mod
+            rig = rect_mod.rectified_rig(rig, s["rect"])
+            self._rect_maps = jnp.asarray(s["rect"]["maps"])
+            s = {**s, "dist": None}
         multi = sensor in (Sensor.STEREO, Sensor.MULTI, Sensor.IMU_STEREO,
                            Sensor.IMU_MULTI)
         # persistent pre-trained vocabulary (reference: the ORBvoc path
@@ -177,9 +190,13 @@ class System:
         kw = {}
         if depth is not None:
             kw["depth"] = jnp.asarray(depth)
+        images = jnp.asarray(images)
+        if self._rect_maps is not None:
+            from ..frontend import rectify as rect_mod
+            images = rect_mod.remap_multicam(
+                images.astype(jnp.float32), self._rect_maps)
         with self.timer.stage("track"):
-            return self.tracker.process_frame(jnp.asarray(images),
-                                              timestamp, **kw)
+            return self.tracker.process_frame(images, timestamp, **kw)
 
     # -- state -------------------------------------------------------------
     @property
@@ -229,19 +246,38 @@ class System:
         synchronous)."""
         self._shutdown = True
 
-    def run_global_ba(self):
+    def run_global_ba(self, mesh=None):
         """Whole-map GBA over the current map (reference:
         LoopClosing::RunGlobalBundleAdjustment — the background GBA thread
         becomes an explicit call; matrix-free Schur+PCG on device). Runs
         FullInertialBA (inertial edges from the tracker's preintegration
         chain, reference src/Optimizer.cc:368) once the IMU is
         initialized; visual-only GBA otherwise.
+
+        `mesh`: a `jax.sharding.Mesh` (or device list / device count) —
+        the solve shards landmarks + observations over it with one [K, D]
+        psum per CG matvec (parallel/dist_ba). This is the scale-out form
+        the reference has no analog for; on one device it falls back to
+        the single-chip matrix-free program.
         Returns the final chi2."""
         with self.timer.stage("gba"):
             tr = self.tracker
-            if (getattr(tr, "imu_initialized", False)
-                    and hasattr(tr, "_kf_pre_batch")):
+            inertial = (getattr(tr, "imu_initialized", False)
+                        and hasattr(tr, "_kf_pre_batch"))
+            pre_b = cvalid = None
+            if inertial:
                 pre_b, cvalid = tr._kf_pre_batch(tr.cfg.max_kf)
+            if mesh is not None:
+                from ..parallel import dist_ba
+                import jax as _jax
+                if isinstance(mesh, int):
+                    mesh = dist_ba.make_mesh(_jax.devices()[:mesh])
+                elif isinstance(mesh, (list, tuple)):
+                    mesh = dist_ba.make_mesh(list(mesh))
+                m, chi = tracking.distributed_global_ba_step(
+                    tr.map, tr.rig.kind, tr.rig, mesh,
+                    pre_b=pre_b, edge_valid=cvalid)
+            elif inertial:
                 m, chi = tracking.global_inertial_ba_step(
                     tr.map, pre_b, cvalid, tr.rig.kind, tr.rig)
             else:
