@@ -184,8 +184,27 @@ def load_settings(path_or_dict):
             imu_node.get("AccWalk", 3e-3),
             imu_node.get("Frequency", 200.0))
 
+    # stereo undistort-rectify precompute (reference:
+    # Settings::precomputeRectificationMaps, src/Settings.cc:683-725 —
+    # built for distorted-pinhole stereo configs with a known
+    # `Stereo.T_c1_c2`): consumers remap raw images through rect["maps"]
+    # and track with frontend.rectify.rectified_rig(rig, rect)
+    rect = None
+    if (kind == cameras.PINHOLE and dist_arr is not None
+            and len(params) >= 2 and "Stereo" in cfg
+            and isinstance(cfg["Stereo"], dict)
+            and "T_c1_c2" in cfg["Stereo"]):
+        from ..frontend import rectify as rect_mod
+        T12 = _T(cfg["Stereo"]["T_c1_c2"])
+        rect = rect_mod.stereo_rectify_maps(
+            [params[0], params[1]], dist_arr[:2],
+            T12[:3, :3], T12[:3, 3],
+            int(cfg.get("Camera", {}).get("width", 640)),
+            int(cfg.get("Camera", {}).get("height", 480)))
+
     return {
         "rig": rig,
+        "rect": rect,
         "dist": dist_arr,
         "orb": orb,
         "imu_noise": noise,

@@ -16,8 +16,14 @@ import numpy as np
 
 
 
-def _np_project(kind: int, params: np.ndarray, p: np.ndarray) -> np.ndarray:
+def _np_project(kind: int, params: np.ndarray, p: np.ndarray,
+                dist=None) -> np.ndarray:
     """Pure-numpy camera projection mirroring geometry.cameras.project.
+
+    `dist` (pinhole only): radtan (k1, k2, p1, p2) applied before K —
+    renders RAW distorted images for the rectification path (reference:
+    the distorted EuRoC inputs consumed through
+    Settings::precomputeRectificationMaps, src/Settings.cc:683).
 
     The renderer must NOT touch the device: on the axon TPU transport, any
     device->host read drops the client out of its pipelined fast path for
@@ -28,7 +34,15 @@ def _np_project(kind: int, params: np.ndarray, p: np.ndarray) -> np.ndarray:
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
     if kind == 0:      # PINHOLE
         zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
-        return np.stack([fx * x / zs + cx, fy * y / zs + cy], axis=-1)
+        xn, yn = x / zs, y / zs
+        if dist is not None and np.any(np.asarray(dist)):
+            k1, k2, p1, p2 = np.asarray(dist, np.float64)[:4]
+            r2 = xn * xn + yn * yn
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+            yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+            xn, yn = xd, yd
+        return np.stack([fx * xn + cx, fy * yn + cy], axis=-1)
     # KB8 equidistant fisheye
     k = params[4:8]
     r = np.sqrt(np.maximum(x * x + y * y, 1e-18))
@@ -67,7 +81,7 @@ class BlobWorld:
 
 def render(world: BlobWorld, kind: int, params: np.ndarray,
            R_cw: np.ndarray, t_cw: np.ndarray, w: int, h: int,
-           base: float = 30.0, with_depth: bool = False):
+           base: float = 30.0, with_depth: bool = False, dist=None):
     """Render one camera view: [h, w] float32 image.
 
     R_cw, t_cw: camera-from-world (p_c = R_cw p_w + t_cw).
@@ -82,7 +96,7 @@ def render(world: BlobWorld, kind: int, params: np.ndarray,
     size = world.size[in_front]
 
     uv = _np_project(kind, np.asarray(params, np.float64),
-                     p_c.astype(np.float64)).astype(np.float32)
+                     p_c.astype(np.float64), dist=dist).astype(np.float32)
     # sprite radius shrinks with depth
     rad = np.clip(size * 400.0 / (p_c[:, 2] * 100.0), 1.0, 4.0)
 
@@ -258,13 +272,16 @@ def imu_from_trajectory(R_wb: np.ndarray, p_wb: np.ndarray, dt: float,
     return samples
 
 
-def render_sequence(world: BlobWorld, kind, params, R_wc, t_wc, w, h):
-    """Render all frames: [T, h, w]. Camera poses are world-from-camera."""
+def render_sequence(world: BlobWorld, kind, params, R_wc, t_wc, w, h,
+                    dist=None):
+    """Render all frames: [T, h, w]. Camera poses are world-from-camera.
+    `dist`: optional radtan coefficients — raw distorted pinhole frames."""
     frames = []
     for R, t in zip(R_wc, t_wc):
         R_cw = R.T
         t_cw = -R.T @ t
-        frames.append(render(world, kind, params, R_cw, t_cw, w, h))
+        frames.append(render(world, kind, params, R_cw, t_cw, w, h,
+                             dist=dist))
     return np.stack(frames)
 
 
