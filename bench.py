@@ -134,6 +134,10 @@ def parse_args(argv=None):
     p.add_argument("--orb-sampling", choices=["patch", "stacked"],
                    default="patch",
                    help="descriptor sampling path (accuracy A/B)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="tracker RNG seed (RANSAC etc.) — perturb to "
+                        "separate systematic accuracy effects from "
+                        "single-realization variance")
     p.add_argument("--metric", default="multi_inertial_slam_fps")
     return p.parse_args(argv)
 
@@ -221,7 +225,7 @@ def main(argv=None):
         # FULL system (reference: the LoopClosing thread is always live,
         # src/LoopClosing.cc:98), not drift-only odometry
         tr = streaming_vi.StreamingVITracker(
-            rig, cfg, noise, seed=0,
+            rig, cfg, noise, seed=args.seed,
             device_lc=False if args.no_lc else lc_kw)
         for i in range(n_frames):
             t, b = frame_imu[i]
@@ -311,9 +315,12 @@ def main(argv=None):
             "frames_tracked": int(ok.sum()),
             "n_keyframes": int(snap["n_kf"]),
             "n_landmarks": int(snap["n_mp"]),
+            "n_obs": int(snap.get("n_obs", -1)),
             "imu_initialized": bool(snap["imu_ok"]),
             "viba_stage": int(snap["viba_stage"]),
             "loop_closures": int(snap.get("n_loops", 0)),
+            "lc_max_tilt_rad": round(float(snap.get("lc_max_tilt",
+                                                    0.0)), 4),
             "mean_frame_ms": round(elapsed / n_frames * 1e3, 2),
             # host contention marker (VERDICT r4: fps deltas < ~15% are
             # unreadable without it — the tunneled chip's host is shared)

@@ -201,6 +201,53 @@ def group_projection_score(m: ms.MapState, slot, cand, cov_row,
     return n
 
 
+def group_projection_score_cross(m_cur: ms.MapState, slot,
+                                 m_cand: ms.MapState, cand, cov_row,
+                                 s, R, t, rig_kind: int, n_cams: int,
+                                 rig, img_w: float, img_h: float,
+                                 radius: float = 8.0,
+                                 cov_threshold: int = 15):
+    """Cross-MAP form of `group_projection_score`: the candidate keyframe
+    and its covisible-group landmarks live in `m_cand` (another Atlas
+    map); the current keyframe's features live in `m_cur`. Used by merge
+    detection (reference: the same nProjMatches verification run on
+    merge candidates from other maps, src/LoopClosing.cc:695-994).
+
+    s, R, t: body(slot in m_cur) -> body(cand in m_cand) Sim3.
+    """
+    K2, CF = m_cand.kf_obs.shape
+    F = CF // n_cams
+    M2 = m_cand.mp_pos.shape[0]
+    group_kf = ((cov_row >= cov_threshold).at[cand].set(True)
+                & m_cand.kf_valid)
+    sel = group_kf[:, None] & (m_cand.kf_obs >= 0)
+    group = (jnp.zeros((M2,), bool)
+             .at[jnp.where(sel, m_cand.kf_obs, 0)].max(sel)) \
+        & m_cand.mp_valid
+
+    p_bc = jnp.einsum("ji,mj->mi", m_cand.kf_R[cand],
+                      m_cand.mp_pos - m_cand.kf_t[cand])
+    p_bs = jnp.einsum("ji,mj->mi", R, p_bc - t) / s
+
+    n = jnp.zeros((), jnp.int32)
+    for c in range(n_cams):
+        p_c = jnp.einsum("ij,mj->mi", rig.R_cb[c], p_bs) + rig.t_cb[c]
+        uv = cameras.project(rig_kind, rig.params[c], p_c)
+        vis = (group & (p_c[:, 2] > 0.1)
+               & (uv[:, 0] >= 0) & (uv[:, 0] < img_w)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < img_h))
+        sl = slice(c * F, (c + 1) * F)
+        lvl = ms.predict_scale_level(
+            jnp.linalg.norm(p_c, axis=-1), m_cand.mp_dmax)
+        idx, _ = matcher.match_projection(
+            uv, lvl, radius, m_cand.mp_desc, vis,
+            m_cur.kf_xy[slot][sl], m_cur.kf_level[slot][sl],
+            m_cur.kf_desc[slot][sl], m_cur.kf_feat_valid[slot][sl],
+            max_dist=matcher.TH_LOW)
+        n = n + jnp.sum((idx >= 0).astype(jnp.int32))
+    return n
+
+
 @jax.jit
 def _correct_map(m: ms.MapState, s_new, R_new, t_new):
     """Apply optimized world->keyframe Sim3s back to the map.

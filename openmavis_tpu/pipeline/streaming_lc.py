@@ -48,7 +48,12 @@ from ..slam_map import map_state as ms
 from ..solvers import sim3 as sim3_mod
 from . import loop_closing as lc_mod
 
-__all__ = ["LCCarry", "init_lc_carry", "make_lc_step"]
+__all__ = ["LCCarry", "init_lc_carry", "make_lc_step",
+           "make_merge_step"]
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 class LCCarry(NamedTuple):
@@ -64,6 +69,13 @@ class LCCarry(NamedTuple):
     n_loops: jnp.ndarray      # [] i32 total corrections applied
     cooldown: jnp.ndarray     # [] i32 keyframes to skip after a loop
     gba_left: jnp.ndarray     # [] i32 amortized post-loop GBA steps left
+    max_tilt: jnp.ndarray     # [] f32 max |roll/pitch| of any verified
+    #                              hypothesis (gravity-drift telemetry —
+    #                              the measured quantity behind tilt_max)
+    merged: jnp.ndarray       # [] bool — cross-map weld already fired
+    merge_last: jnp.ndarray   # [] i32 newest slot merge detection saw
+    n_merges: jnp.ndarray     # [] i32 total welds applied
+    kf_off: jnp.ndarray       # [] i32 slot shift applied by the weld
 
 
 def init_lc_carry() -> LCCarry:
@@ -75,7 +87,12 @@ def init_lc_carry() -> LCCarry:
         s=jnp.ones(()), R=jnp.eye(3), t=jnp.zeros(3),
         n_loops=jnp.zeros((), jnp.int32),
         cooldown=jnp.zeros((), jnp.int32),
-        gba_left=jnp.zeros((), jnp.int32))
+        gba_left=jnp.zeros((), jnp.int32),
+        max_tilt=jnp.zeros(()),
+        merged=jnp.asarray(False),
+        merge_last=jnp.full((), -1, jnp.int32),
+        n_merges=jnp.zeros((), jnp.int32),
+        kf_off=jnp.zeros((), jnp.int32))
 
 
 def _retrieval_scores(m: ms.MapState, slot):
@@ -342,6 +359,7 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                 # fallback when all scores are -1) can never be verified
                 verified = (g_score >= min_group) & (has_pending
                                                      | (cand_ok & ok_s))
+                tilt_obs = lcc.max_tilt
                 if inertial:
                     # gravity-direction gate: the implied world
                     # correction must not tilt roll/pitch (gravity is
@@ -354,6 +372,13 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                     # genuine loops under small tilt drift)
                     R_corr = m.kf_R[cand] @ R_h @ m.kf_R[slot].T
                     phi = lie.so3_log(R_corr)
+                    tilt = jnp.maximum(jnp.abs(phi[0]),
+                                       jnp.abs(phi[1]))
+                    # telemetry: the measured tilt of group-verified
+                    # hypotheses — the quantity tilt_max must cover
+                    tilt_obs = jnp.where(verified,
+                                         jnp.maximum(tilt_obs, tilt),
+                                         tilt_obs)
                     verified = (verified
                                 & (jnp.abs(phi[0]) < tilt_max)
                                 & (jnp.abs(phi[1]) < tilt_max)
@@ -391,7 +416,8 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                     cooldown=jnp.where(confirm, cooldown_kf,
                                        lcc.cooldown),
                     gba_left=jnp.where(confirm, gba_steps,
-                                       lcc.gba_left))
+                                       lcc.gba_left),
+                    max_tilt=tilt_obs)
                 return m, c2x, lcc2
 
             return jax.lax.cond(cand_ok | has_pending, attempt,
@@ -402,3 +428,170 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                             lambda m, c, lcc: (m, c, lcc), m, c, lcc)
 
     return step
+
+
+def make_merge_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
+                    img_w: float, img_h: float,
+                    score_min: int = 40, min_pairs: int = 20,
+                    min_group: int = 30, weld_ba: bool = True,
+                    scale_lo: float = 0.9, scale_hi: float = 1.1,
+                    min_kf: int = 5):
+    """Device-side CROSS-MAP merge for the streaming pipeline.
+
+    The reference detects merge candidates in other Atlas maps inside the
+    LoopClosing thread and welds the current map into the older one —
+    stop mapper -> Sim3 transform -> slab migration -> welding BA
+    (MergeLocal2, src/LoopClosing.cc:1956-2130). The host path
+    (loop_closing.LoopCloser.detect_merge) pays multi-second d2h reads
+    per decision through the tunneled transport; this step runs the WHOLE
+    chain — BoW retrieval against the resident secondary slab, cross-map
+    Sim3 RANSAC + refine, group projection verification, scale sanity,
+    the traced weld (atlas.merge_maps_device), carry/trajectory slot
+    remapping, preintegration-chain shift, and the welding BA — as part
+    of the per-frame fused program with zero host reads.
+
+    Returns step(m, c, lcc, m2, rig) -> (m, c, lcc): `m2` is the OLDER
+    map (the weld destination — its keyframes anchor the gauge); on a
+    confirmed weld the merged slab REPLACES `m` and lcc.merged flips, so
+    detection never re-fires. Capacity: m2's free slots must hold m
+    (merge_maps_device's `fits`), or the weld is skipped.
+    """
+    from ..slam_map import atlas as atlas_mod
+    from . import tracking as trk
+
+    def _step(m, c, lcc: LCCarry, m2, rig):
+        slot = m.n_kf - 1
+        # maturity gate: the current map needs structure (and, for
+        # inertial rigs, a few keyframes of gravity/scale settling)
+        # before a weld is trustworthy — an immature weld freezes early
+        # drift into the seam
+        fresh = ((slot != lcc.merge_last) & (slot >= min_kf - 1)
+                 & ~lcc.merged & (m2.n_kf >= 2))
+        lcc = lcc._replace(
+            merge_last=jnp.where(slot != lcc.merge_last, slot,
+                                 lcc.merge_last))
+
+        def detect(m, c, lcc):
+            key, k1 = jax.random.split(c.key)
+            c = c._replace(key=key)
+            K2 = m2.kf_R.shape[0]
+            # retrieval against the secondary map's BoW signatures
+            scores = bow.scores(m2.kf_bow, m.kf_bow[slot])
+            idx2 = jnp.arange(K2)
+            sc = jnp.where(m2.kf_valid & (idx2 < m2.n_kf), scores, -1)
+            cand = jnp.argmax(sc).astype(jnp.int32)
+            cand_ok = sc[cand] >= score_min
+
+            def attempt(m, c, lcc):
+                pairs = lc_mod._pairs_from_tables(
+                    lc_mod._tables(m), lc_mod._tables(m2), slot, cand)
+                n_pairs = jnp.sum(pairs.valid.astype(jnp.int32))
+                res = sim3_mod.ransac_sim3_reproj(
+                    k1, pairs, rig_kind, rig,
+                    fix_scale=inertial, min_inliers=min_pairs)
+                cam_a = jnp.clip(pairs.cam_a, 0,
+                                 rig.params.shape[0] - 1)
+                cam_b = jnp.clip(pairs.cam_b, 0,
+                                 rig.params.shape[0] - 1)
+                ref = sim3_refine.refine_sim3(
+                    res.s, res.R, res.t, pairs.p_a, pairs.p_b,
+                    pairs.uv_a, pairs.uv_b, pairs.sigma2_a,
+                    pairs.sigma2_b, pairs.valid & res.inlier, rig_kind,
+                    rig.params[cam_a], rig.params[cam_b],
+                    rig.R_cb[cam_a], rig.t_cb[cam_a],
+                    rig.R_cb[cam_b], rig.t_cb[cam_b],
+                    fix_scale=inertial)
+                ok = (res.success & (n_pairs >= min_pairs)
+                      & (ref.n_inliers >= min_pairs)
+                      & jnp.isfinite(ref.s)
+                      # inertial merges: scale must be near 1 (gravity
+                      # fixes scale in both maps — reference
+                      # scale-sanity gate, LoopClosing.cc:176-204)
+                      & (ref.s > (scale_lo if inertial else 0.1))
+                      & (ref.s < (scale_hi if inertial else 10.0)))
+                cov2 = ms.covisibility_matrix(m2)
+                g = lc_mod.group_projection_score_cross(
+                    m, slot, m2, cand, cov2[cand],
+                    ref.s, ref.R, ref.t, rig_kind, n_cams, rig,
+                    img_w, img_h)
+                confirm = ok & (g >= min_group)
+
+                def weld(m, c, lcc):
+                    # world Sim3 current-world -> m2-world:
+                    # S_w = T_wb2(cand) o S_ba o T_bw(slot)
+                    one = jnp.ones(())
+                    s1, R1, t1 = lie.sim3_compose(
+                        one, m2.kf_R[cand], m2.kf_t[cand],
+                        ref.s, ref.R, ref.t)
+                    si, Ri, ti = lie.sim3_inverse(
+                        one, m.kf_R[slot], m.kf_t[slot])
+                    s_w, R_w, t_w = lie.sim3_compose(s1, R1, t1,
+                                                     si, Ri, ti)
+                    kf_off = m2.n_kf
+                    mp_off = m2.n_mp
+                    merged, fits = atlas_mod.merge_maps_device(
+                        m2, m, s_w, R_w, t_w)
+                    merged = ms.add_loop_edge(merged, cand,
+                                              slot + kf_off)
+
+                    # carry into the merged world + shifted slots
+                    K = m.kf_R.shape[0]
+                    c2 = c._replace(
+                        R=lie.normalize_rotation(R_w @ c.R),
+                        p=s_w * (R_w @ c.p) + t_w,
+                        v=s_w * (R_w @ c.v),
+                        last_kf_slot=c.last_kf_slot + kf_off)
+                    # every ring entry recorded this session references
+                    # a slot of the pre-merge slab (unwritten entries
+                    # are overwritten before they are ever read)
+                    tr_ = c2.traj._replace(ref=c2.traj.ref + kf_off)
+                    ks = jnp.arange(K)
+                    tgt = jnp.where(ks < m.n_kf, ks + kf_off, K)
+
+                    def shift_chain(x):
+                        ext = jnp.concatenate(
+                            [jnp.zeros_like(x),
+                             jnp.zeros_like(x[:1])], axis=0)
+                        return ext.at[tgt].set(x)[:K]
+
+                    c2 = c2._replace(
+                        traj=tr_,
+                        chain=jax.tree.map(shift_chain, c.chain),
+                        chain_valid=jnp.zeros(
+                            (K + 1,), bool).at[tgt].set(
+                            c.chain_valid)[:K])
+
+                    if weld_ba:
+                        free = ((jnp.arange(K) >= kf_off)
+                                & merged.kf_valid)
+                        merged, _ = trk.welding_ba_step(
+                            merged, free, rig_kind, rig,
+                            obs_cap=int(getattr(cfg, "obs_cap",
+                                                131072)))
+                    lcc2 = lcc._replace(
+                        merged=jnp.asarray(True),
+                        n_merges=lcc.n_merges + 1,
+                        kf_off=kf_off,
+                        # loop-closer bookkeeping shifts with the slots
+                        last_slot=lcc.last_slot + kf_off,
+                        merge_last=lcc.merge_last + kf_off,
+                        cand=jnp.full((), -1, jnp.int32),
+                        pend_slot=jnp.full((), -1, jnp.int32),
+                        count=jnp.zeros((), jnp.int32))
+                    out_m = _tree_where(fits, merged, m)
+                    out_c = _tree_where(fits, c2, c)
+                    out_l = _tree_where(fits, lcc2, lcc)
+                    return out_m, out_c, out_l
+
+                return jax.lax.cond(confirm, weld,
+                                    lambda m, c, lcc: (m, c, lcc),
+                                    m, c, lcc)
+
+            return jax.lax.cond(cand_ok, attempt,
+                                lambda m, c, lcc: (m, c, lcc),
+                                m, c, lcc)
+
+        return jax.lax.cond(fresh, detect,
+                            lambda m, c, lcc: (m, c, lcc), m, c, lcc)
+
+    return _step

@@ -865,14 +865,16 @@ def _make_chunked_step(rig: RigParams, cfg: VIStreamConfig, noise,
 
 
 def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
-                        dist, lc_key: tuple):
-    """Tracking step + device loop closing fused into ONE jitted program
-    per frame (see StreamingVITracker.__init__). Cached per
-    (cfg, rig.kind, dist?, lc params) so fresh trackers share the
-    compile."""
+                        dist, lc_key: tuple,
+                        merge_key: tuple | None = None):
+    """Tracking step + device loop closing (+ optional device cross-map
+    merge against a resident secondary slab) fused into ONE jitted
+    program per frame (see StreamingVITracker.__init__). Cached per
+    (cfg, rig.kind, dist?, lc params, merge params) so fresh trackers
+    share the compile."""
     from . import streaming_lc
 
-    key_ = (cfg, rig.kind, dist is not None, lc_key)
+    key_ = (cfg, rig.kind, dist is not None, lc_key, merge_key)
     cached = _COMBINED_CACHE.get(key_)
     if cached is None:
         inner = _make_step_inner(cfg, rig.kind, dist is not None)
@@ -880,18 +882,36 @@ def _make_combined_step(rig: RigParams, cfg: VIStreamConfig, noise,
             cfg, rig.kind, cfg.n_cams, inertial=cfg.use_imu,
             img_w=float(cfg.img_w), img_h=float(cfg.img_h),
             **dict(lc_key))
+        merge_inner = (streaming_lc.make_merge_step(
+            cfg, rig.kind, cfg.n_cams, inertial=cfg.use_imu,
+            img_w=float(cfg.img_w), img_h=float(cfg.img_h),
+            **dict(merge_key)) if merge_key is not None else None)
 
-        @jax.jit
-        def combined(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
-                     depth, rig, noise, dist):
-            m, c = inner(m, c, images, time, imu_w, imu_a, imu_dt,
-                         rig, noise, dist, depth)
-            m, c, lcc = lc_inner(m, c, lcc, rig)
-            return m, c, lcc
+        if merge_inner is None:
+            @jax.jit
+            def combined(m, c, lcc, images, time, imu_w, imu_a, imu_dt,
+                         depth, rig, noise, dist):
+                m, c = inner(m, c, images, time, imu_w, imu_a, imu_dt,
+                             rig, noise, dist, depth)
+                m, c, lcc = lc_inner(m, c, lcc, rig)
+                return m, c, lcc
+        else:
+            @jax.jit
+            def combined(m, c, lcc, m2, images, time, imu_w, imu_a,
+                         imu_dt, depth, rig, noise, dist):
+                m, c = inner(m, c, images, time, imu_w, imu_a, imu_dt,
+                             rig, noise, dist, depth)
+                m, c, lcc = merge_inner(m, c, lcc, m2, rig)
+                m, c, lcc = lc_inner(m, c, lcc, rig)
+                return m, c, lcc
 
         _COMBINED_CACHE[key_] = combined
         cached = combined
     d0 = dist if dist is not None else 0.0
+    if merge_key is not None:
+        return (lambda m, c, lcc, m2, imgs, t, w, a, dts, depth=0.0:
+                cached(m, c, lcc, m2, imgs, t, w, a, dts, depth, rig,
+                       noise, d0))
     return lambda m, c, lcc, imgs, t, w, a, dts, depth=0.0: cached(
         m, c, lcc, imgs, t, w, a, dts, depth, rig, noise, d0)
 
@@ -908,7 +928,8 @@ class StreamingVITracker:
 
     def __init__(self, rig: RigParams, cfg: VIStreamConfig,
                  noise: pre_mod.ImuNoise | None = None, seed: int = 0,
-                 dist=None, loop_closer=None, device_lc=False):
+                 dist=None, loop_closer=None, device_lc=False,
+                 secondary_map=None, merge_kw=None):
         self.cfg = cfg
         self.noise = noise or pre_mod.ImuNoise.from_sigmas(
             1.7e-4, 2e-3, 1.9e-5, 3e-3, cfg.imu_freq)
@@ -934,24 +955,39 @@ class StreamingVITracker:
         # zero host syncs, unlike the host-policy `loop_closer` path.
         self._lc_step = None
         self.lc_carry = None
+        self.map2 = None
         lc_key = None
         if device_lc:
             from . import streaming_lc
             lc_kw = device_lc if isinstance(device_lc, dict) else {}
             lc_key = tuple(sorted(lc_kw.items()))
+            # device cross-map merge: a previous session's map slab kept
+            # RESIDENT on device; the fused per-frame program detects and
+            # welds into it with zero host reads (streaming_lc.
+            # make_merge_step; reference: MergeLocal2,
+            # src/LoopClosing.cc:1956)
+            merge_key = None
+            if secondary_map is not None:
+                merge_key = tuple(sorted((merge_kw or {}).items()))
+                self.map2 = dev.commit(secondary_map)
             # the tracking step and the LC step are FUSED into one jitted
             # program: every dispatch through the tunneled transport
             # carries ~20 ms of fixed overhead, so two programs per frame
             # cost ~20 ms/frame more than one
             self._step = _make_combined_step(
-                self.rig, cfg, self.noise, dist, lc_key)
+                self.rig, cfg, self.noise, dist, lc_key, merge_key)
             self._lc_step = True
             with dev.host_trace():
                 self.lc_carry = streaming_lc.init_lc_carry()
             self.lc_carry = dev.commit(self.lc_carry)
+        elif secondary_map is not None:
+            raise ValueError("secondary_map requires device_lc")
         # frame-chunked dispatch: scan `chunk` frames per device program
         self._chunk = max(1, int(cfg.frames_per_dispatch))
         self._buf: list = []
+        if self._chunk > 1 and self.map2 is not None:
+            raise ValueError("secondary_map requires "
+                             "frames_per_dispatch=1")
         if self._chunk > 1:
             self._chunk_step = _make_chunked_step(
                 self.rig, cfg, self.noise, dist, lc_key, self._chunk)
@@ -1004,7 +1040,12 @@ class StreamingVITracker:
         with dev.host_trace():
             dep = (dev.commit(depth) if self.cfg.use_depth
                    else jnp.zeros((), jnp.float32))
-            if self._lc_step is not None:
+            if self._lc_step is not None and self.map2 is not None:
+                self.map, self.carry, self.lc_carry = self._step(
+                    self.map, self.carry, self.lc_carry, self.map2,
+                    dev.commit(np.asarray(images)),
+                    jnp.asarray(time, jnp.float32), w, a, dt, dep)
+            elif self._lc_step is not None:
                 self.map, self.carry, self.lc_carry = self._step(
                     self.map, self.carry, self.lc_carry,
                     dev.commit(np.asarray(images)),
@@ -1164,6 +1205,9 @@ class StreamingVITracker:
         if self.lc_carry is not None:
             fields["n_loops"] = self.lc_carry.n_loops
             fields["gba_left"] = self.lc_carry.gba_left
+            fields["lc_max_tilt"] = self.lc_carry.max_tilt
+            fields["n_merges"] = self.lc_carry.n_merges
+            fields["merge_kf_off"] = self.lc_carry.kf_off
         snap = self._packer.fetch(fields)
         self._snap = snap
         return snap

@@ -56,6 +56,95 @@ def transform_map(m: ms.MapState, s, R, t) -> ms.MapState:
     return m._replace(kf_R=Rn, kf_t=tn, kf_v=vn, mp_pos=pn)
 
 
+def merge_maps_device(dst: ms.MapState, src: ms.MapState, s, R, t):
+    """Jit-traceable weld of `src` into `dst` (dst <- s R src + t).
+
+    The device-resident form of `merge_maps` for the streaming cross-map
+    merge (reference: MergeLocal2's stop-mapper -> transform -> weld
+    sequence, src/LoopClosing.cc:1956-2130 — here one traced program with
+    ZERO host reads): offsets are traced scalars, and every append is an
+    extended-slab scatter whose out-of-capacity rows land in a dump slot.
+
+    Returns (merged MapState, fits) — when `fits` is False the returned
+    map is unchanged `dst` except for counters, so callers must gate on
+    it (lax.cond / where).
+    """
+    K, F = dst.kf_obs.shape
+    M = dst.mp_pos.shape[0]
+    Ks = src.kf_obs.shape[0]
+    Ms = src.mp_pos.shape[0]
+    src_t = transform_map(src, s, R, t)
+    kf_off = dst.n_kf
+    mp_off = dst.n_mp
+    fits = ((dst.n_kf + src.n_kf <= K)
+            & (dst.n_mp + src.n_mp <= M))
+
+    ks = jnp.arange(Ks)
+    kf_tgt = jnp.where(fits & (ks < src.n_kf), kf_off + ks, K)
+    md = jnp.arange(Ms)
+    mp_tgt = jnp.where(fits & (md < src.n_mp), mp_off + md, M)
+
+    def app_kf(d, s_):
+        ext = jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+        return ext.at[kf_tgt].set(s_)[:K]
+
+    def app_mp(d, s_):
+        ext = jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+        return ext.at[mp_tgt].set(s_)[:M]
+
+    src_obs = jnp.where(src_t.kf_obs >= 0, src_t.kf_obs + mp_off, -1)
+    out = dst._replace(
+        kf_R=app_kf(dst.kf_R, src_t.kf_R),
+        kf_t=app_kf(dst.kf_t, src_t.kf_t),
+        kf_v=app_kf(dst.kf_v, src_t.kf_v),
+        kf_bg=app_kf(dst.kf_bg, src_t.kf_bg),
+        kf_ba=app_kf(dst.kf_ba, src_t.kf_ba),
+        kf_time=app_kf(dst.kf_time, src_t.kf_time),
+        kf_valid=app_kf(dst.kf_valid, src_t.kf_valid),
+        kf_xy=app_kf(dst.kf_xy, src_t.kf_xy),
+        kf_desc=app_kf(dst.kf_desc, src_t.kf_desc),
+        kf_level=app_kf(dst.kf_level, src_t.kf_level),
+        kf_sigma2=app_kf(dst.kf_sigma2, src_t.kf_sigma2),
+        kf_cam=app_kf(dst.kf_cam, src_t.kf_cam),
+        kf_feat_valid=app_kf(dst.kf_feat_valid, src_t.kf_feat_valid),
+        kf_obs=app_kf(dst.kf_obs, src_obs),
+        kf_bow=app_kf(dst.kf_bow, src_t.kf_bow),
+        mp_pos=app_mp(dst.mp_pos, src_t.mp_pos),
+        mp_desc=app_mp(dst.mp_desc, src_t.mp_desc),
+        mp_normal=app_mp(dst.mp_normal, src_t.mp_normal),
+        mp_dmin=app_mp(dst.mp_dmin, s * src_t.mp_dmin),
+        mp_dmax=app_mp(dst.mp_dmax, s * src_t.mp_dmax),
+        mp_valid=app_mp(dst.mp_valid, src_t.mp_valid),
+        mp_first_kf=app_mp(dst.mp_first_kf,
+                           src_t.mp_first_kf + kf_off),
+        mp_last_kf=app_mp(dst.mp_last_kf, src_t.mp_last_kf + kf_off),
+        mp_visible=app_mp(dst.mp_visible, src_t.mp_visible),
+        mp_found=app_mp(dst.mp_found, src_t.mp_found),
+        n_kf=jnp.where(fits, dst.n_kf + src.n_kf, dst.n_kf),
+        n_mp=jnp.where(fits, dst.n_mp + src.n_mp, dst.n_mp),
+    )
+    # carry src's persistent loop edges (slots shift by kf_off) into
+    # dst's edge ring
+    L = dst.loop_i.shape[0]
+
+    def add_edge(carry, e):
+        m_, = carry
+        li, lj, lv = e
+        m2_ = ms.add_loop_edge(m_, li + kf_off, lj + kf_off)
+        m_ = _tree_where(lv & fits, m2_, m_)
+        return (m_,), None
+
+    (out,), _ = jax.lax.scan(
+        add_edge, (out,),
+        (src.loop_i, src.loop_j,
+         src.loop_valid & (src.loop_i >= 0) & (src.loop_j >= 0)))
+    return out, fits
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
 def merge_maps(dst: ms.MapState, src: ms.MapState, s, R, t):
     """Weld `src` into `dst`: src is moved by the Sim3 (dst <- s R src + t)
     and its keyframes/landmarks appended into dst's free capacity.
