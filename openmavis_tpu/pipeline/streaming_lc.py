@@ -137,7 +137,7 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                  covis_exclude: int = 15, cov_edge_threshold: int = 30,
                  n_cov_edges: int = 64, cooldown_kf: int = 10,
                  run_gba: bool = False,
-                 tilt_max: float = 0.08, yaw_max: float = 0.349,
+                 tilt_max: float = 0.02, yaw_max: float = 0.349,
                  gba_steps: int = 4, gba_cg: int = 8):
     """Build the jitted per-frame loop-closing program.
 
@@ -365,11 +365,12 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                     # correction must not tilt roll/pitch (gravity is
                     # observable), and yaw must stay sane ("BAD LOOP"
                     # branch, reference: src/LoopClosing.cc:307-335 uses
-                    # |phi_xy| < 0.008; tilt_max defaults wider (0.08)
-                    # because this estimator's measured tilt drift on
-                    # long streams is 0.02-0.06 rad — the gate's job
-                    # here is refusing gross mis-orientations, not
-                    # genuine loops under small tilt drift)
+                    # |phi_xy| < 0.008; tilt_max defaults 0.02 — round-5
+                    # telemetry (lcc.max_tilt) measures verified-
+                    # hypothesis tilt at 0.002-0.012 rad on the flagship
+                    # and long benches, so 0.02 covers genuine loops
+                    # with ~2x margin while refusing mis-orientations;
+                    # the r4 0.08 default predated the telemetry)
                     R_corr = m.kf_R[cand] @ R_h @ m.kf_R[slot].T
                     phi = lie.so3_log(R_corr)
                     tilt = jnp.maximum(jnp.abs(phi[0]),
