@@ -93,8 +93,11 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=N_FRAMES)
     p.add_argument("--orbit-frac", type=float, default=1.25)
+    # the flagship rig is 4x KannalaBrandt8 fisheye (HiltiChallenge2022
+    # .yaml; VERDICT r4 #1: the headline must measure the fisheye rig) —
+    # kb8 is the default; --kind pinhole remains for ablation
     p.add_argument("--kind", choices=["pinhole", "kb8"],
-                   default="pinhole")
+                   default="kb8")
     # headline slab: 64 KF / 16k landmarks comfortably holds the
     # 160-frame flagship sequence (28 KFs); the map-SCALE artifact is
     # the separate long-sequence run (--frames 1600 --max-kf 256
@@ -340,6 +343,11 @@ def main(argv=None):
             "loop_closures": int(snap.get("n_loops", 0)),
             "lc_max_tilt_rad": round(float(snap.get("lc_max_tilt",
                                                     0.0)), 4),
+            # [best score, floor@best, attempts, max pairs, solve oks,
+            # max group score] — which LC gate binds (streaming_lc)
+            "lc_stage_max": [round(float(x), 1) for x in
+                             np.asarray(snap.get("lc_dbg",
+                                                 np.zeros(6)))],
             "mean_frame_ms": round(elapsed / n_frames * 1e3, 2),
             # host contention marker (VERDICT r4: fps deltas < ~15% are
             # unreadable without it — the tunneled chip's host is shared)

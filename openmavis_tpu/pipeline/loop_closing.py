@@ -117,6 +117,92 @@ def _tables(m: ms.MapState):
             m.kf_feat_valid, m.kf_obs, m.mp_pos, m.mp_valid)
 
 
+def pairs_by_projection(m: ms.MapState, slot, cand, rig_kind: int,
+                        n_cams: int, rig, img_w: float, img_h: float,
+                        radius: float = 40.0):
+    """Projection-GUIDED Sim3 pairs: project the candidate keyframe's
+    bound landmarks into the current keyframe's cameras from the CURRENT
+    (drifted) poses and match descriptors within `radius` px.
+
+    Pure descriptor NN across two full keyframes (`_pairs_from_tables`)
+    degrades under perceptual aliasing — most of its matches connect
+    unrelated structure, starving the Sim3 RANSAC of inliers (measured:
+    <=10 true pairs of ~60 on the flagship bench). The reference never
+    relies on raw NN alone either: loop hypotheses are refined by
+    SearchByProjection around the predicted geometry
+    (src/LoopClosing.cc:888, src/ORBmatcher.cc:99-331). At loop time the
+    relative drift is small compared to a 40 px gate, so projecting
+    through the current poses recovers dense TRUE pairs; the RANSAC
+    still validates geometry independently. Combine with NN pairs (which
+    need no pose prior) for the large-drift fallback.
+
+    Returns MatchedPairs padded to [C*F] (keyed by current-KF feature).
+    """
+    from . import tracking as mono
+
+    CF = m.kf_obs.shape[1]
+    F = CF // n_cams
+    M = m.mp_pos.shape[0]
+    # candidate's bound-landmark set
+    obs_c = m.kf_obs[cand]
+    has_c = (obs_c >= 0) & m.kf_feat_valid[cand]
+    sel_b = jnp.zeros((M,), bool).at[
+        jnp.where(has_c, obs_c, 0)].max(has_c) & m.mp_valid
+
+    idx_all, dist_all = [], []
+    for c in range(n_cams):
+        uv_proj, lvl, vis_c, _ = mono.project_landmarks(
+            m, m.kf_R[slot], m.kf_t[slot], rig_kind, rig.params[c],
+            rig.R_cb[c], rig.t_cb[c], img_w, img_h)
+        sl = slice(c * F, (c + 1) * F)
+        feat_ok = (m.kf_feat_valid[slot][sl]
+                   & (m.kf_obs[slot][sl] >= 0))
+        idx_c, dist_c = matcher.match_projection(
+            uv_proj, lvl, radius, m.mp_desc, vis_c & sel_b,
+            m.kf_xy[slot][sl], m.kf_level[slot][sl],
+            m.kf_desc[slot][sl], feat_ok,
+            max_dist=matcher.TH_LOW, ratio=0.9)
+        idx_c = matcher.dedup_targets(idx_c, dist_c, F)
+        idx_all.append(jnp.where(idx_c >= 0, idx_c + c * F, -1))
+        dist_all.append(dist_c)
+
+    idx_sc = jnp.stack(idx_all, axis=1)          # [M, C]
+    dist_sc = jnp.stack(dist_all, axis=1)
+    best_c = jnp.argmin(jnp.where(idx_sc >= 0, dist_sc, 1 << 20),
+                        axis=1)
+    feat = jnp.take_along_axis(idx_sc, best_c[:, None], axis=1)[:, 0]
+    matched = feat >= 0                          # [M] landmark -> feat
+
+    # scatter to per-feature rows: feature f pairs with landmark b
+    lm_of_feat = jnp.full((CF,), -1, jnp.int32).at[
+        jnp.where(matched, feat, CF - 1)].max(
+        jnp.where(matched, jnp.arange(M, dtype=jnp.int32), -1))
+    okf = lm_of_feat >= 0
+    mp_b = jnp.where(okf, lm_of_feat, 0)
+    mp_a = jnp.where(okf, m.kf_obs[slot], 0)
+    valid = (okf & (m.kf_obs[slot] >= 0) & m.mp_valid[mp_a]
+             & m.mp_valid[mp_b])
+    p_a = jnp.einsum("ji,fj->fi", m.kf_R[slot],
+                     m.mp_pos[mp_a] - m.kf_t[slot])
+    p_b = jnp.einsum("ji,fj->fi", m.kf_R[cand],
+                     m.mp_pos[mp_b] - m.kf_t[cand])
+    # image observation of the landmark in the CANDIDATE keyframe: the
+    # feature of cand bound to mp_b (scatter cand's bound features by
+    # landmark id)
+    feat_of_lm = jnp.full((M,), -1, jnp.int32).at[
+        jnp.where(has_c, obs_c, 0)].max(
+        jnp.where(has_c, jnp.arange(CF, dtype=jnp.int32), -1))
+    fb = feat_of_lm[mp_b]
+    valid = valid & (fb >= 0)
+    fb = jnp.where(fb >= 0, fb, 0)
+    return MatchedPairs(
+        p_a=p_a, p_b=p_b,
+        uv_a=m.kf_xy[slot], uv_b=m.kf_xy[cand][fb],
+        sigma2_a=m.kf_sigma2[slot], sigma2_b=m.kf_sigma2[cand][fb],
+        cam_a=m.kf_cam[slot], cam_b=m.kf_cam[cand][fb],
+        valid=valid)
+
+
 @jax.jit
 def _matched_pairs_body(m: ms.MapState, slot_a, slot_b) -> MatchedPairs:
     """Match features of two keyframes of ONE map; landmark positions in

@@ -76,6 +76,11 @@ class LCCarry(NamedTuple):
     merge_last: jnp.ndarray   # [] i32 newest slot merge detection saw
     n_merges: jnp.ndarray     # [] i32 total welds applied
     kf_off: jnp.ndarray       # [] i32 slot shift applied by the weld
+    # stage telemetry (maxima over the run): [best retrieval score,
+    # floor at that time, candidate attempts, matched pairs, RANSAC+
+    # refine successes, group projection score] — answers "which gate
+    # killed detection" without host reads (one snapshot at the end)
+    dbg: jnp.ndarray          # [6] f32
 
 
 def init_lc_carry() -> LCCarry:
@@ -92,7 +97,8 @@ def init_lc_carry() -> LCCarry:
         merged=jnp.asarray(False),
         merge_last=jnp.full((), -1, jnp.int32),
         n_merges=jnp.zeros((), jnp.int32),
-        kf_off=jnp.zeros((), jnp.int32))
+        kf_off=jnp.zeros((), jnp.int32),
+        dbg=jnp.zeros((6,)))
 
 
 def _retrieval_scores(m: ms.MapState, slot):
@@ -157,9 +163,19 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
 
     def _solve_candidate(m, key, slot, cand, rig):
         """Matched pairs -> RANSAC -> projection refine. Returns
-        (ok, n_pairs, s, R, t) with the Sim3 body(slot)->body(cand)."""
-        pairs = lc_mod._pairs_from_tables(
+        (ok, n_pairs, s, R, t) with the Sim3 body(slot)->body(cand).
+
+        Pairs come from TWO sources concatenated: descriptor NN across
+        the keyframes (pose-free — survives arbitrary drift) and
+        projection-guided matches through the current poses (dense TRUE
+        pairs when drift is small vs the search gate — the reference's
+        SearchByProjection companion, src/LoopClosing.cc:888)."""
+        pairs_nn = lc_mod._pairs_from_tables(
             lc_mod._tables(m), lc_mod._tables(m), slot, cand)
+        pairs_pr = lc_mod.pairs_by_projection(
+            m, slot, cand, rig_kind, n_cams, rig, img_w, img_h)
+        pairs = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                             pairs_nn, pairs_pr)
         n_pairs = jnp.sum(pairs.valid.astype(jnp.int32))
         # reprojection-gated RANSAC (Sim3Solver::CheckInliers semantics):
         # robust to drift-distorted local geometry, unlike a 3D gate
@@ -328,6 +344,13 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
             has_pending = (lcc.cand >= 0) & (slot > lcc.pend_slot)
             cand = jnp.where(has_pending, lcc.cand, cand_new)
 
+            better = sc[cand_new] > lcc.dbg[0]
+            lcc = lcc._replace(dbg=lcc.dbg
+                               .at[0].max(sc[cand_new].astype(
+                                   jnp.float32))
+                               .at[1].set(jnp.where(
+                                   better, floor, lcc.dbg[1])))
+
             def attempt(m, c2, lcc):
                 """RANSAC + refine + group verify + (maybe) correction —
                 only dispatched when retrieval produced a candidate above
@@ -338,6 +361,11 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                 src/LoopClosing.cc:401-447)."""
                 ok_s, n_pairs, s_n, R_n, t_n = _solve_candidate(
                     m, k1, slot, cand, rig)
+                lcc = lcc._replace(dbg=lcc.dbg
+                                   .at[2].add(1.0)
+                                   .at[3].max(n_pairs.astype(
+                                       jnp.float32))
+                                   .at[4].add(ok_s.astype(jnp.float32)))
 
                 # hypothesis to verify: recomposed pending Sim3 when
                 # pending, else the fresh solve
@@ -354,6 +382,8 @@ def make_lc_step(cfg, rig_kind: int, n_cams: int, inertial: bool,
                 g_score = lc_mod.group_projection_score(
                     m, slot, cand, cov[cand], s_h, R_h, t_h, rig_kind,
                     n_cams, rig, img_w, img_h)
+                lcc = lcc._replace(
+                    dbg=lcc.dbg.at[5].max(g_score.astype(jnp.float32)))
                 # a fresh hypothesis must pass BOTH the retrieval-score
                 # gate and the solve; excluded keyframes (argmax
                 # fallback when all scores are -1) can never be verified

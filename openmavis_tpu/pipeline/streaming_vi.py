@@ -1208,6 +1208,7 @@ class StreamingVITracker:
             fields["lc_max_tilt"] = self.lc_carry.max_tilt
             fields["n_merges"] = self.lc_carry.n_merges
             fields["merge_kf_off"] = self.lc_carry.kf_off
+            fields["lc_dbg"] = self.lc_carry.dbg
         snap = self._packer.fetch(fields)
         self._snap = snap
         return snap
