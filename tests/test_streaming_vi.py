@@ -195,9 +195,15 @@ def test_device_lc_closes_loop():
         max_kf=64, max_mp=8192, traj_cap=128, imu_per_frame=16,
         ba_window=4, imu_init_kfs=5, kf_max_interval_s=0.25,
         temporal_refs=1, imu_freq=200.0)
+    # tilt_max: this deliberately DEGRADED stream (384 feats, 3 levels,
+    # 200 Hz IMU, 16% scale error) accumulates 0.04-0.05 rad of real
+    # gravity drift by loop time (measured via lc_max_tilt telemetry);
+    # the flagship-validated default gate (0.02 — flagship/long benches
+    # measure <= 0.005 tilt) correctly refuses such a hypothesis, so
+    # this machinery test widens the gate to the drift it generates
     tracker = streaming_vi.StreamingVITracker(
         stereo_rig(), cfg, seed=0,
-        device_lc=dict(score_min=30, temporal=2))
+        device_lc=dict(score_min=30, temporal=2, tilt_max=0.08))
     drive(tracker, frames, imu)
 
     snap = tracker.snapshot()
