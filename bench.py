@@ -255,13 +255,24 @@ def main(argv=None):
     # waits for all enqueued compute is a d2h fetch (program order), so
     # the timed region runs through the snapshot fetch and subtracts
     # the fetch's own (compute-idle) cost measured after pass 1.
+    # the FIRST d2h of the process goes down the transport's slow path
+    # (PERF.md: 60-370 s cold) — fetch twice and take the min so
+    # idle_fetch measures the warmed fetch the timed pass will see
     tf0 = time.perf_counter()
     tr0.snapshot()
     idle_fetch = time.perf_counter() - tf0
+    tr0._snap = None
+    tf0 = time.perf_counter()
+    tr0.snapshot()
+    idle_fetch = min(idle_fetch, time.perf_counter() - tf0)
     t0 = time.perf_counter()
     tr = run()                 # pass 2: timed, streaming
+    t_enqueue = time.perf_counter() - t0
     snap = tr.snapshot()       # completion-proving fetch
-    elapsed = max(time.perf_counter() - t0 - idle_fetch, 1e-6)
+    # floor at the enqueue time: the stream cannot have completed
+    # faster than it was fed, so fetch-cost variance (shared host) can
+    # never push the estimate below the enqueue-bound lower limit
+    elapsed = max(time.perf_counter() - t0 - idle_fetch, t_enqueue)
     fps = n_frames / elapsed
     load_after = os.getloadavg()[0]
 
