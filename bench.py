@@ -128,6 +128,13 @@ def parse_args(argv=None):
                         "(0 = auto: 24576 for the default 64-KF slab "
                         "— measured bound-obs count is ~13k — else "
                         "131072)")
+    p.add_argument("--temporal-refs", type=int, default=2,
+                   help="temporal-spawn reference keyframes per new KF")
+    # (3,4) measured ATE-equivalent to (4,6) at ~4 ms/frame less (r5
+    # ablation; the window re-solves at every KF, so late iterations
+    # refine a linearization the next solve redoes anyway)
+    p.add_argument("--ba-stages", default="3,4",
+                   help="window-BA LM stage schedule, comma-separated")
     p.add_argument("--track-cap", type=int, default=0,
                    help="local-map landmark cap for per-frame tracking "
                         "(0 = whole map)")
@@ -187,10 +194,11 @@ def main(argv=None):
         traj_cap=n_frames + 32,
         ba_window=8, imu_init_kfs=6,
         kf_max_interval_s=args.kf_interval,
-        temporal_refs=2,
+        temporal_refs=args.temporal_refs,
         frames_per_dispatch=args.fpd,
         track_map_cap=args.track_cap,
         po_rounds=args.po_rounds, po_iters=args.po_iters,
+        ba_stages=tuple(int(x) for x in args.ba_stages.split(",")),
         obs_cap=(args.obs_cap if args.obs_cap
                  else (24576 if args.max_kf <= 64 else 131072)),
         # local-map tracking (reference: TrackLocalMap's covisible window,

@@ -501,9 +501,10 @@ def bind_landmarks_multi(m: ms.MapState, slot, rig_kind: int, n_cams: int,
                       mp_last_kf=jnp.where(touched, slot, m.mp_last_kf))
 
 
-@partial(jax.jit, static_argnames=("rig_kind",))
+@partial(jax.jit, static_argnames=("rig_kind", "stages"))
 def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
-                      last, rig_kind: int, rig: RigParams):
+                      last, rig_kind: int, rig: RigParams,
+                      stages=(4, 6)):
     """VI window BA over a fixed-size keyframe window with the temporal
     inertial chain, as one device program (reference: LocalInertialBA,
     src/Optimizer.cc:4763).
@@ -557,7 +558,7 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
     fixed = (jnp.arange(W) < 1) | ~kf_in
     state, inlier, chi = ba.bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~used,
-        edges=edges, stages=(4, 6))
+        edges=edges, stages=stages)
     good = jnp.isfinite(chi)
     # dump-slot scatter: padded window entries (duplicate ids) write to
     # the K-th row of an extended slab and are sliced away, so they can

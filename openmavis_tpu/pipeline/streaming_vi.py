@@ -126,6 +126,11 @@ class VIStreamConfig:
     kf_max_interval_s: float = 0.5
     new_mp_cap: int = 256
     ba_window: int = 8
+    # LM stage schedule of the per-KF VI window BA (reference:
+    # LocalInertialBA runs 4-10 iterations, src/Optimizer.cc:2740-2746);
+    # each iteration is a sequential dense-Schur solve (~6 ms at the
+    # flagship window), so the schedule is a direct per-KF cost knob
+    ba_stages: tuple = (4, 6)
     temporal_refs: int = 2
     imu_init_kfs: int = 8
     viba1_time: float = 5.0
@@ -399,7 +404,8 @@ def _make_step_inner(cfg: VIStreamConfig, rig_kind: int, has_dist: bool):
         edge_ok = (c.chain_valid[ids[1:]] & kf_in[1:] & kf_in[:-1]
                    & c.imu_ok)
         m, bias_new = mt.vi_window_ba_step(
-            m, ids, kf_in, pre_w, edge_ok, slot - lo, rig_kind, rig)
+            m, ids, kf_in, pre_w, edge_ok, slot - lo, rig_kind, rig,
+            stages=cfg.ba_stages)
         c = c._replace(bg=bias_new[:3], ba=bias_new[3:])
         return m, c
 
