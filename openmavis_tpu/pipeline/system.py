@@ -47,7 +47,8 @@ class System:
     def __init__(self, config, sensor: Sensor,
                  enable_loop_closing: bool = True,
                  tracker_overrides: Optional[dict] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_viewer: bool = False,
+                 viewer_port: int = 0):
         self.sensor = sensor
         self.timer = StageTimer()
         s = settings_mod.load_settings(config)
@@ -130,6 +131,13 @@ class System:
         self.loop_closer = lc
         self.cfg = cfg
         self._shutdown = False
+        # interactive viewer (reference: System ctor's bUseViewer spawns
+        # the Pangolin Viewer thread, src/System.cc:79 + Viewer.cc:Run;
+        # here an HTTP live-stream server — see viewer.LiveViewer)
+        self.viewer = None
+        if use_viewer:
+            from . import viewer as viewer_mod
+            self.viewer = viewer_mod.LiveViewer(port=viewer_port)
 
     # -- per-frame entry points (reference System.h:88-129) ---------------
     def track_monocular(self, image, timestamp: float,
@@ -143,11 +151,14 @@ class System:
                 for (w, a, t) in imu_samples:
                     self.tracker.feed_imu(w, a, t)
             with self.timer.stage("track"):
-                return self.tracker.process_frame(
+                ok = self.tracker.process_frame(
                     jnp.asarray(image)[None], timestamp)
-        with self.timer.stage("track"):
-            return self.tracker.process_frame(jnp.asarray(image),
-                                              timestamp)
+        else:
+            with self.timer.stage("track"):
+                ok = self.tracker.process_frame(jnp.asarray(image),
+                                                timestamp)
+        self._viewer_tick(timestamp)
+        return ok
 
     def track_rgbd(self, image, depth, timestamp: float,
                    imu_samples=None) -> bool:
@@ -160,12 +171,16 @@ class System:
                 for (w, a, t) in imu_samples:
                     self.tracker.feed_imu(w, a, t)
             with self.timer.stage("track"):
-                return self.tracker.process_frame(
+                ok = self.tracker.process_frame(
                     jnp.asarray(image)[None], timestamp,
                     depth=jnp.asarray(depth)[None])
-        with self.timer.stage("track"):
-            return self.tracker.process_frame(
-                jnp.asarray(image), timestamp, depth=jnp.asarray(depth))
+        else:
+            with self.timer.stage("track"):
+                ok = self.tracker.process_frame(
+                    jnp.asarray(image), timestamp,
+                    depth=jnp.asarray(depth))
+        self._viewer_tick(timestamp)
+        return ok
 
     def track_stereo(self, image_left, image_right,
                      timestamp: float, imu_samples=None) -> bool:
@@ -196,7 +211,28 @@ class System:
             images = rect_mod.remap_multicam(
                 images.astype(jnp.float32), self._rect_maps)
         with self.timer.stage("track"):
-            return self.tracker.process_frame(images, timestamp, **kw)
+            ok = self.tracker.process_frame(images, timestamp, **kw)
+        self._viewer_tick(timestamp)
+        return ok
+
+    def _viewer_tick(self, timestamp: float):
+        """Publish one snapshot to the live viewer (the Viewer thread's
+        poll, src/Viewer.cc:Run). Gated on an attached stream client
+        BEFORE gathering state: rasterize + trajectory walk + the map
+        d2h must cost nothing when nobody is watching."""
+        v = self.viewer
+        if v is None or not v.attached:
+            return
+        import numpy as _np
+        _, _, t = self.tracker.get_trajectory()
+        m = self.map
+        state = {
+            "t": round(float(timestamp), 3),
+            "tracking_state": str(self.tracker.state),
+            "n_keyframes": int(_np.asarray(m.n_kf)),
+            "n_landmarks": int(_np.asarray(m.n_mp)),
+        }
+        v.update(m, trajectory=t, state=state, force=True)
 
     # -- state -------------------------------------------------------------
     @property
@@ -242,8 +278,11 @@ class System:
             self.reset()
 
     def shutdown(self):
-        """(reference: System::Shutdown — here: flush/no-op, stages are
-        synchronous)."""
+        """(reference: System::Shutdown — here: stop the viewer server;
+        compute stages are synchronous)."""
+        if self.viewer is not None:
+            self.viewer.close()
+            self.viewer = None
         self._shutdown = True
 
     def run_global_ba(self, mesh=None):

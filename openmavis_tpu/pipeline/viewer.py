@@ -175,3 +175,166 @@ class Viewer:
         if img is not None and xy is not None:
             save_png(os.path.join(self.out_dir, f"frame_{i:06d}.png"),
                      draw_frame(img, xy, tracked))
+
+
+_PAGE = b"""<!doctype html><html><head><title>OpenMAVIS-TPU viewer</title>
+<style>body{background:#111;color:#ddd;font:13px monospace;margin:12px}
+img{border:1px solid #444;margin:4px;max-width:46vw}
+#state{white-space:pre;color:#9c9}</style></head><body>
+<h3>OpenMAVIS-TPU live viewer</h3>
+<div><img src="/map" alt="map"><img src="/frame" alt="frame"></div>
+<div id="state"></div>
+<script>setInterval(async()=>{try{const r=await fetch('/state.json');
+document.getElementById('state').textContent=
+JSON.stringify(await r.json(),null,1);}catch(e){}},500);</script>
+</body></html>"""
+
+
+class LiveViewer:
+    """Interactive live viewer: an in-process HTTP server streaming the
+    map/frame renders to a browser.
+
+    TPU-native replacement for the reference's interactive Pangolin
+    viewer (src/Viewer.cc:Run — a GL loop polling shared tracker state
+    at ~30 Hz; src/MapDrawer.cc / src/FrameDrawer.cc draw calls). Here
+    the same content is rasterized by `draw_map`/`draw_frame` and pushed
+    over HTTP: `/` serves a page with two multipart (MJPEG-style) image
+    streams plus a state ticker, `/map.png` + `/frame.png` serve the
+    latest stills, `/state.json` the tracker counters.
+
+    Zero-overhead when idle: `update()` renders only while at least one
+    HTTP client is connected (the reference pays its GL loop always;
+    a SLAM process on a TPU host must not pay rasterize + d2h for an
+    unattached viewer).
+    """
+
+    def __init__(self, port: int = 0, host: str = "127.0.0.1",
+                 view: MapView = MapView(), every: int = 1):
+        import http.server
+        import threading
+
+        self.view = view
+        self.every = every
+        self.n_updates = 0
+        self.n_renders = 0
+        self._lock = threading.Condition()
+        self._gen = 0                       # bumped per rendered update
+        self._png = {}                      # name -> latest PNG bytes
+        self._state = {}
+        self._clients = 0
+        owner = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):      # silence per-request stderr
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                import json as _json
+                if self.path in ("/", "/index.html"):
+                    self._send(200, "text/html", _PAGE)
+                elif self.path == "/state.json":
+                    with owner._lock:
+                        body = _json.dumps(owner._state).encode()
+                    self._send(200, "application/json", body)
+                elif self.path in ("/map.png", "/frame.png"):
+                    with owner._lock:
+                        body = owner._png.get(self.path[1:-4])
+                    if body is None:
+                        self._send(404, "text/plain", b"no render yet")
+                    else:
+                        self._send(200, "image/png", body)
+                elif self.path in ("/map", "/frame"):
+                    self._stream(self.path[1:])
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def _stream(self, name):
+                # multipart/x-mixed-replace: the browser replaces the
+                # <img> with each part as it arrives (the MJPEG idiom,
+                # PNG-encoded parts)
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=omv")
+                self.end_headers()
+                with owner._lock:
+                    owner._clients += 1
+                try:
+                    last = -1
+                    while True:
+                        with owner._lock:
+                            if owner._gen == last:
+                                if not owner._lock.wait(timeout=5.0):
+                                    continue
+                            last = owner._gen
+                            body = owner._png.get(name)
+                        if body is None:
+                            continue
+                        self.wfile.write(
+                            b"--omv\r\nContent-Type: image/png\r\n"
+                            + b"Content-Length: %d\r\n\r\n" % len(body)
+                            + body + b"\r\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    with owner._lock:
+                        owner._clients -= 1
+
+        self._srv = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        self.url = "http://%s:%d/" % self._srv.server_address[:2]
+
+    @property
+    def attached(self) -> bool:
+        with self._lock:
+            return self._clients > 0
+
+    def update(self, m: ms.MapState, img=None, xy=None, tracked=None,
+               trajectory=None, state: dict | None = None,
+               force: bool = False):
+        """Render + publish one snapshot. No-op (beyond a counter)
+        unless a stream client is attached or `force` is given."""
+        i = self.n_updates
+        self.n_updates += 1
+        if i % self.every:
+            return
+        if not (force or self.attached):
+            return
+        frames = {"map": draw_map(m, self.view, trajectory=trajectory)}
+        if img is not None and xy is not None:
+            frames["frame"] = draw_frame(img, xy, tracked)
+        pngs = {k: _encode_png(v) for k, v in frames.items()}
+        with self._lock:
+            self._png.update(pngs)
+            if state is not None:
+                self._state = dict(state)
+            self._gen += 1
+            self.n_renders += 1
+            self._lock.notify_all()
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+        self._thread.join(timeout=5.0)
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()

@@ -27,7 +27,8 @@ def make_config():
 def test_system_mono_end_to_end(tmp_path):
     cfg = make_config()
     slam = System(cfg, Sensor.MONOCULAR, enable_loop_closing=False,
-                  tracker_overrides={"max_kf": 16, "max_mp": 4096})
+                  tracker_overrides={"max_kf": 16, "max_mp": 4096},
+                  use_viewer=True)
 
     world = synthetic.BlobWorld.create(seed=5, n=2500)
     params = np.array([300.0, 300.0, W / 2, H / 2, 0, 0, 0, 0], np.float32)
@@ -56,3 +57,29 @@ def test_system_mono_end_to_end(tmp_path):
 
     stats = slam.timer.stats()
     assert "track" in stats and stats["track"]["count"] == len(frames)
+
+    # live viewer (System ctor bUseViewer analog, src/System.cc:79):
+    # no client was attached during the run -> zero renders paid; an
+    # attached stream client makes the next track publish a snapshot
+    import json
+    import socket
+    import time as _time
+    import urllib.request
+    v = slam.viewer
+    assert v is not None and v.n_renders == 0
+    host, port = v._srv.server_address[:2]
+    sock = socket.create_connection((host, port), timeout=5)
+    sock.sendall(b"GET /map HTTP/1.1\r\nHost: x\r\n\r\n")
+    for _ in range(100):
+        if v.attached:
+            break
+        _time.sleep(0.05)
+    assert v.attached
+    slam.track_monocular(frames[-1], len(frames) / 20.0)
+    assert v.n_renders == 1
+    st = json.loads(urllib.request.urlopen(
+        v.url + "state.json", timeout=5).read())
+    assert st["n_keyframes"] == slam.tracker.n_kf
+    sock.close()
+    slam.shutdown()
+    assert slam.viewer is None

@@ -65,3 +65,70 @@ def test_viewer_writes_pngs(tmp_path):
     assert "map_000000.png" in files and "map_000002.png" in files
     assert "frame_000000.png" in files
     assert "map_000001.png" not in files
+
+
+def test_live_viewer_serves_map_and_state():
+    """LiveViewer (src/Viewer.cc analog): HTTP server publishes the
+    rasterized map + state; update() is a no-op with no client."""
+    import json
+    import urllib.request
+
+    v = viewer.LiveViewer(port=0, view=viewer.MapView(width=64, height=64))
+    try:
+        # no client attached -> update renders nothing
+        v.update(_toy_map())
+        assert v.n_renders == 0
+        # forced update publishes the stills + state
+        v.update(_toy_map(), state={"n_keyframes": 3}, force=True)
+        assert v.n_renders == 1
+        page = urllib.request.urlopen(v.url, timeout=5).read()
+        assert b"live viewer" in page
+        png = urllib.request.urlopen(v.url + "map.png", timeout=5).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        st = json.loads(urllib.request.urlopen(
+            v.url + "state.json", timeout=5).read())
+        assert st["n_keyframes"] == 3
+    finally:
+        v.close()
+
+
+def test_live_viewer_multipart_stream():
+    """The /map endpoint is a multipart stream: an attached client makes
+    `attached` true and receives each published frame as a PNG part."""
+    import socket
+    import threading
+    import time as _time
+
+    v = viewer.LiveViewer(port=0, view=viewer.MapView(width=64, height=64))
+    try:
+        host, port = v._srv.server_address[:2]
+        sock = socket.create_connection((host, port), timeout=5)
+        sock.sendall(b"GET /map HTTP/1.1\r\nHost: x\r\n\r\n")
+        got = []
+
+        def reader():
+            sock.settimeout(10)
+            buf = b""
+            try:
+                while b"\x89PNG" not in buf:
+                    buf += sock.recv(65536)
+            except OSError:
+                pass
+            got.append(buf)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        # wait for the stream handler to register the client
+        for _ in range(100):
+            if v.attached:
+                break
+            _time.sleep(0.05)
+        assert v.attached
+        v.update(_toy_map())          # unforced: renders because attached
+        assert v.n_renders == 1
+        th.join(timeout=10)
+        assert got and b"multipart/x-mixed-replace" in got[0]
+        assert b"\x89PNG" in got[0]
+        sock.close()
+    finally:
+        v.close()
