@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--gt", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -85,7 +89,11 @@ def main():
         from openmavis_tpu.io import trajectory
         trajectory.save_tum(args.out, t_est, R_est, p_est)
     else:
-        slam = system.System(cfg, system.Sensor.MONOCULAR)
+        slam = system.System(cfg, system.Sensor.MONOCULAR,
+                             use_viewer=args.viewer is not None,
+                             viewer_port=args.viewer or 0)
+        if slam.viewer is not None:
+            print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
         t0 = time.perf_counter()
         for i in range(n):
             slam.track_monocular(seq.frame(i)[0], float(seq.cam_times[i]))

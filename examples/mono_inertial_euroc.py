@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--gt", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     from openmavis_tpu.io import datasets, evaluation
@@ -53,7 +57,11 @@ def main():
                       "GyroWalk": 1.9e-5, "AccWalk": 3.0e-3,
                       "Frequency": 200.0}
 
-    slam = system.System(cfg, system.Sensor.IMU_MONOCULAR)
+    slam = system.System(cfg, system.Sensor.IMU_MONOCULAR,
+                         use_viewer=args.viewer is not None,
+                         viewer_port=args.viewer or 0)
+    if slam.viewer is not None:
+        print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
     t_prev = float(seq.cam_times[0]) - 1e-3
     t0 = time.perf_counter()
     for i in range(n):

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--gt", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     from openmavis_tpu.io import datasets, evaluation
@@ -58,7 +62,11 @@ def main():
         cfg["Camera1"].update(fx=517.306408, fy=516.469215,
                               cx=318.643040, cy=255.313989)
 
-    slam = system.System(cfg, system.Sensor.MONOCULAR)
+    slam = system.System(cfg, system.Sensor.MONOCULAR,
+                         use_viewer=args.viewer is not None,
+                         viewer_port=args.viewer or 0)
+    if slam.viewer is not None:
+        print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(n):
         img = datasets.load_gray(os.path.join(args.sequence, files[i]))

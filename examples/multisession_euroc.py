@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--settings", default=None)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     from openmavis_tpu.io import datasets, settings as cfg_mod, trajectory
@@ -40,7 +44,11 @@ def main():
     else:
         cfg = cfg_mod.example_settings(n_cams=2)
 
-    slam = system.System(cfg, system.Sensor.IMU_STEREO)
+    slam = system.System(cfg, system.Sensor.IMU_STEREO,
+                         use_viewer=args.viewer is not None,
+                         viewer_port=args.viewer or 0)
+    if slam.viewer is not None:
+        print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
     os.makedirs(args.out_dir, exist_ok=True)
 
     spans = []

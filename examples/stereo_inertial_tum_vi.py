@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--out", default="trajectory_tum.txt")
     ap.add_argument("--gt", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     from openmavis_tpu.io import datasets, evaluation
@@ -65,7 +69,11 @@ def main():
                       "GyroWalk": 0.000022, "AccWalk": 0.00086,
                       "Frequency": 200.0}
 
-    slam = system.System(cfg, system.Sensor.IMU_STEREO)
+    slam = system.System(cfg, system.Sensor.IMU_STEREO,
+                         use_viewer=args.viewer is not None,
+                         viewer_port=args.viewer or 0)
+    if slam.viewer is not None:
+        print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
     t_prev = None
     t0 = time.perf_counter()
     for i in range(n):

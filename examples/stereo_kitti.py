@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--settings", default=None)
     ap.add_argument("--out", default="trajectory_kitti.txt")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viewer", nargs="?", const=8080, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live map/frame viewer over HTTP "
+                         "(the reference mains' bUseViewer; default port 8080)")
     args = ap.parse_args()
 
     from openmavis_tpu.io import datasets
@@ -53,7 +57,11 @@ def main():
         T[0, 3] = 0.5372    # KITTI 00-02 stereo baseline (meters)
         cfg["Camera2"]["T_b_c"] = T.tolist()
 
-    slam = system.System(cfg, system.Sensor.STEREO)
+    slam = system.System(cfg, system.Sensor.STEREO,
+                         use_viewer=args.viewer is not None,
+                         viewer_port=args.viewer or 0)
+    if slam.viewer is not None:
+        print(f"live viewer: {slam.viewer.url}", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(n):
         imgs = seq.frame(i)
