@@ -194,35 +194,14 @@ def _inertial_blocks(state: BAState, edges: InertialEdges, prior,
     return H, g, chi
 
 
-def _inertial_chi2(state: BAState, edges: InertialEdges, prior, prior_idx):
-    pre = edges.pre
-    info9 = inertial_mod.inertial_information(pre)
-    info_g, info_a = inertial_mod.bias_rw_information(pre)
-    r = inertial_mod.inertial_residual(
-        state.R[:-1], state.t[:-1], state.v[:-1],
-        state.bg[:-1], state.ba[:-1],
-        state.R[1:], state.t[1:], state.v[1:], pre)
-    ev = edges.valid.astype(state.t.dtype)
-    chi = jnp.einsum("ea,eab,eb,e->", r, info9, r, ev)
-    rg = state.bg[1:] - state.bg[:-1]
-    ra = state.ba[1:] - state.ba[:-1]
-    chi = chi + jnp.einsum("ea,eab,eb,e->", rg, info_g, rg, ev)
-    chi = chi + jnp.einsum("ea,eab,eb,e->", ra, info_a, ra, ev)
-    if prior is not None:
-        rp, _ = inertial_mod.prior_residual_jac(
-            state.R[prior_idx], state.t[prior_idx], state.v[prior_idx],
-            state.bg[prior_idx], state.ba[prior_idx], prior)
-        chi = chi + rp @ (prior.H @ rp)
-    return chi
-
-
 def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
                   pose_fixed, point_fixed=None,
                   edges: InertialEdges | None = None,
                   prior=None, prior_idx: int = 0,
                   stages=(5, 10), lambda0: float = 1e-2,
                   chi2_th: float = robust.CHI2_2D,
-                  psum_axis: str | None = None):
+                  psum_axis: str | None = None,
+                  rows_per_kf: int | None = None):
     """Window bundle adjustment with landmark Schur elimination.
 
     Args:
@@ -245,36 +224,49 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
     D = 15 if edges is not None else 6
     K = state.R.shape[0]
     M = state.points.shape[0]
+    O = obs.kf.shape[0]
     active = obs.valid
+    # `rows_per_kf`: observation table laid out as K contiguous blocks of
+    # rows_per_kf rows per keyframe (the window trackers' repeat layout)
+    # — pose blocks then reduce with a reshape-sum instead of a
+    # scatter-add (scatter LAUNCH latency, not FLOPs, dominates window
+    # BA on TPU; PERF.md scatter floor)
+    sorted_rows = (rows_per_kf is not None and rows_per_kf * K == O
+                   and psum_axis is None)
 
     def _psum(x):
         if psum_axis is None:
             return x
         return jax.lax.psum(x, psum_axis)
 
-    def assemble(st: BAState, active, lam):
+    def assemble(st: BAState, active):
         r, Jp, Jl, w, _ = _visual_terms(st, obs, rig, active)
         # pose diagonal blocks
-        HppB = jnp.zeros((K, 6, 6), r.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oaj->oij", Jp, w, Jp))
-        gpB = jnp.zeros((K, 6), r.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oa->oi", Jp, w, r))
-        # landmark blocks
-        Hll = jnp.zeros((M, 3, 3), r.dtype).at[obs.mp].add(
-            jnp.einsum("oai,o,oaj->oij", Jl, w, Jl))
-        gl = jnp.zeros((M, 3), r.dtype).at[obs.mp].add(
-            jnp.einsum("oai,o,oa->oi", Jl, w, r))
-        # pose-landmark coupling, dense over [K, M]
+        vpp = jnp.einsum("oai,o,oaj->oij", Jp, w, Jp).reshape(O, 36)
+        vgp = jnp.einsum("oai,o,oa->oi", Jp, w, r)
+        if sorted_rows:
+            HppB = vpp.reshape(K, rows_per_kf, 36).sum(1).reshape(
+                K, 6, 6)
+            gpB = vgp.reshape(K, rows_per_kf, 6).sum(1)
+        else:
+            HppB = jnp.zeros((K, 36), r.dtype).at[obs.kf].add(
+                vpp).reshape(K, 6, 6)
+            gpB = jnp.zeros((K, 6), r.dtype).at[obs.kf].add(vgp)
+        # landmark + pose-landmark coupling blocks in ONE packed
+        # scatter-add over the dense [K, M] table (three separate
+        # scatters each pay the same launch latency)
+        vll = jnp.einsum("oai,o,oaj->oij", Jl, w, Jl).reshape(O, 9)
+        vgl = jnp.einsum("oai,o,oa->oi", Jl, w, r)
+        vpl = jnp.einsum("oai,o,oaj->oij", Jp, w, Jl).reshape(O, 18)
         flat = obs.kf * M + obs.mp
-        Hpl6 = jnp.zeros((K * M, 6, 3), r.dtype).at[flat].add(
-            jnp.einsum("oai,o,oaj->oij", Jp, w, Jl))
-        Hpl6 = Hpl6.reshape(K, M, 6, 3).transpose(0, 2, 1, 3)  # [K,6,M,3]
-
+        packed = jnp.zeros((K * M, 30), r.dtype).at[flat].add(
+            jnp.concatenate([vll, vgl, vpl], axis=-1))
+        pk = _psum(packed).reshape(K, M, 30)
         HppB = _psum(HppB)
         gpB = _psum(gpB)
-        Hll = _psum(Hll)
-        gl = _psum(gl)
-        Hpl6 = _psum(Hpl6)
+        Hll = pk[..., :9].sum(0).reshape(M, 3, 3)
+        gl = pk[..., 9:12].sum(0)
+        Hpl6 = pk[..., 12:].reshape(K, M, 6, 3).transpose(0, 2, 1, 3)
         chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
 
         if D == 6:
@@ -306,44 +298,37 @@ def bundle_adjust(state: BAState, obs: BAObservations, rig: RigParams,
             Hpl = jnp.where(pf[None, None, :, None], 0.0, Hpl)
         return Hpp, Hpl, Hll, gp, gl, chi
 
-    def chi2_fn(st: BAState, active):
-        # residual-only pass (no Jacobians) for the LM accept test
-        r, depth = mono_residual(st.R[obs.kf], st.t[obs.kf],
-                                 st.points[obs.mp], obs.cam, obs.uv, rig)
-        info = 1.0 / obs.sigma2
-        c = jnp.sum(r * r, axis=-1) * info
-        w = robust.huber_weight(c, robust.CHI2_2D) * info
-        w = jnp.where(active & (depth > 0.01), w, 0.0)
-        chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
-        if D == 15:
-            chi = chi + _inertial_chi2(st, edges, prior, prior_idx)
-        return chi
-
     def lm_stage(st, active, iters):
+        # one-eval LM (same driver shape as lm.lm_optimize): each
+        # iteration's assemble supplies BOTH the candidate's chi2
+        # (accept test) and, on acceptance, the normal equations of the
+        # next step — no separate residual-only accept pass, which on
+        # TPU costs nearly as much launch latency as the full assemble
         def body(carry):
-            st, lam, chi, it, _ = carry
-            Hpp, Hpl, Hll, gp, gl, chi_cur = assemble(st, active, lam)
+            st, A, lam, it = carry
+            Hpp, Hpl, Hll, gp, gl, chi = A
             dx_p, dx_l = _schur_solve(Hpp, Hpl, Hll, gp, gl, lam,
                                       pose_fixed, D)
             st_new = _retract(st, dx_p, dx_l, D)
-            chi_new = chi2_fn(st_new, active)
-            accept = chi_new < chi
+            A_new = assemble(st_new, active)
+            accept = A_new[5] < chi
             st = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
                               st, st_new)
-            chi = jnp.where(accept, chi_new, chi)
+            A = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
+                             A, A_new)
             lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
                            1e-9, 1e6)
-            return st, lam, chi, it + 1, accept
+            return st, A, lam, it + 1
 
         def cond(carry):
             return carry[3] < iters
 
-        chi0 = chi2_fn(st, active)
-        st, _, chi, _, _ = jax.lax.while_loop(
+        A0 = assemble(st, active)
+        st, A, _, _ = jax.lax.while_loop(
             cond, body,
-            (st, jnp.asarray(lambda0, jnp.float32), chi0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(True)))
-        return st, chi
+            (st, A0, jnp.asarray(lambda0, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return st, A[5]
 
     for si, iters in enumerate(stages):
         state, chi = lm_stage(state, active, iters)

@@ -120,6 +120,26 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
     active0 = obs.valid
     fixmask = pose_fixed[:, None] & jnp.ones((K, D), bool)
 
+    # K-axis scatter/gather as one-hot matmuls: every CG matvec pays the
+    # per-op scatter/gather LAUNCH latency (PERF.md floor: 1.2-1.9 ms on
+    # the 131k-row table) while the K axis is tiny — a precomputed [O, K]
+    # one-hot turns each into one MXU matmul (~0.2 ms of HBM traffic),
+    # computed ONCE and reused by every CG iteration of every LM step.
+    # precision="highest" keeps f32 accumulation exact-enough for the
+    # normal equations (default TPU matmul would round values to bf16).
+    oh_kf = (obs.kf[:, None] == jnp.arange(K)[None, :]).astype(
+        state.t.dtype)                                     # [O, K]
+
+    def scat_kf(vals):
+        """[O, d] -> [K, d] sum-by-keyframe."""
+        return jnp.einsum("ok,od->kd", oh_kf, vals,
+                          precision="highest")
+
+    def gath_kf(xk):
+        """[K, d] -> [O, d] broadcast-by-keyframe."""
+        return jnp.einsum("ok,kd->od", oh_kf, xk,
+                          precision="highest")
+
     def _psum(x):
         if psum_axis is None:
             return x
@@ -150,10 +170,10 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
         Hll_inv = lm_mod.inv3x3(Hll_d)
 
         # pose diagonal blocks (visual part) for the preconditioner
-        Hpp_blk = jnp.zeros((K, 6, 6), r.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oaj->oij", Jp, w, Jp))
-        gp6 = jnp.zeros((K, 6), r.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oa->oi", Jp, w, r))
+        Hpp_blk = scat_kf(jnp.einsum("oai,o,oaj->oij", Jp, w,
+                                     Jp).reshape(-1, 36)).reshape(
+                                         K, 6, 6)
+        gp6 = scat_kf(jnp.einsum("oai,o,oa->oi", Jp, w, r))
         Hpp_blk = _psum(Hpp_blk)
         gp6 = _psum(gp6)
         chi = _psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
@@ -180,9 +200,7 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
         # rhs of the reduced system: b = gp - Hpl Hll^-1 gl (per pose)
         u = jnp.einsum("mij,mj->mi", Hll_inv, gl)          # [M,3]
         uo = jnp.einsum("oai,oi->oa", Jl, u[obs.mp])       # [O,2]
-        corr = jnp.zeros((K, 6), r.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oa->oi", Jp, w, uo))
-        corr = _psum(corr)
+        corr = _psum(scat_kf(jnp.einsum("oai,o,oa->oi", Jp, w, uo)))
         b = gp.at[:, :6].add(-corr)
         return (Jp, Jl, w), Hll_inv, HppD, iblocks, Hp_prior, b, gl, chi
 
@@ -194,20 +212,16 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
         Jp, Jl, w = terms
         x = jnp.where(fixmask, 0.0, x)
         x6 = x[:, :6]
-        yo = jnp.einsum("oai,oi->oa", Jp, x6[obs.kf])      # [O,2]
+        yo = jnp.einsum("oai,oi->oa", Jp, gath_kf(x6))     # [O,2]
         # visual Hpp x (diagonal pose blocks)
-        hx = jnp.zeros((K, 6), x.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oa->oi", Jp, w, yo))
+        hx = _psum(scat_kf(jnp.einsum("oai,o,oa->oi", Jp, w, yo)))
         # Schur correction: Hpl Hll^-1 Hlp x
         lx = jnp.zeros((M, 3), x.dtype).at[obs.mp].add(
             jnp.einsum("oai,o,oa->oi", Jl, w, yo))
-        hx = _psum(hx)
         lx = _psum_l(lx)
         v = jnp.einsum("mij,mj->mi", Hll_inv, lx)
         vo = jnp.einsum("oai,oi->oa", Jl, v[obs.mp])
-        sx = jnp.zeros((K, 6), x.dtype).at[obs.kf].add(
-            jnp.einsum("oai,o,oa->oi", Jp, w, vo))
-        sx = _psum(sx)
+        sx = _psum(scat_kf(jnp.einsum("oai,o,oa->oi", Jp, w, vo)))
         y = jnp.zeros((K, D), x.dtype).at[:, :6].set(hx - sx)
         if D == 15:
             H11, H12, H22 = iblocks
@@ -275,7 +289,7 @@ def global_bundle_adjust(state: BAState, obs: BAObservations,
     def backsub(st, terms, Hll_inv, gl, dx_p):
         """dl = Hll^-1 (-gl - Hlp dx_p)."""
         Jp, Jl, w = terms
-        yo = jnp.einsum("oai,oi->oa", Jp, dx_p[obs.kf, :6])
+        yo = jnp.einsum("oai,oi->oa", Jp, gath_kf(dx_p[:, :6]))
         lx = jnp.zeros((M, 3), dx_p.dtype).at[obs.mp].add(
             jnp.einsum("oai,o,oa->oi", Jl, w, yo))
         lx = _psum_l(lx)

@@ -453,7 +453,11 @@ def temporal_spawn_multi(m: ms.MapState, slot_new, ref_slots,
             m, n = _spawn_pair_band(m, slot_new, ref_slots[j], c, n_cams,
                                     rig, rig_kind, cap_new)
             total = total + n
-    return ms.update_mp_geometry(m, None), total
+    # NOTE: callers (kf_insert / the host-policy tracker) run a full
+    # update_mp_geometry after the whole spawn/bind/fuse/cull chain —
+    # refreshing here too would double the costliest whole-slab scatter
+    # pass per keyframe (stereo_spawn likewise defers geometry refresh)
+    return m, total
 
 
 @partial(jax.jit, static_argnames=("rig_kind", "n_cams"))
@@ -558,7 +562,7 @@ def vi_window_ba_step(m: ms.MapState, ids, kf_in, pre_b, edge_ok,
     fixed = (jnp.arange(W) < 1) | ~kf_in
     state, inlier, chi = ba.bundle_adjust(
         state0, obs, rig, fixed, point_fixed=~used,
-        edges=edges, stages=stages)
+        edges=edges, stages=stages, rows_per_kf=CF)
     good = jnp.isfinite(chi)
     # dump-slot scatter: padded window entries (duplicate ids) write to
     # the K-th row of an extended slab and are sliced away, so they can

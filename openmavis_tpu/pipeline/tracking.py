@@ -541,7 +541,8 @@ def local_ba_step(m: ms.MapState, newest_slot, rig_kind: int,
     fixed = (jnp.arange(W) < 2) | ~w_valid
 
     state, inlier, chi = ba.bundle_adjust(
-        state0, obs, rig, fixed, point_fixed=~used, stages=(5, 10))
+        state0, obs, rig, fixed, point_fixed=~used, stages=(5, 10),
+        rows_per_kf=F)
 
     # write back window poses + compacted points; drop gated observations.
     # Unused local slots scatter to index M, which is out of bounds and

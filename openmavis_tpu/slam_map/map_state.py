@@ -216,24 +216,23 @@ def update_mp_geometry(m: MapState, mp_ids: jnp.ndarray,
     w = valid_obs.astype(m.mp_pos.dtype)
 
     flat_mp = mp.reshape(-1)
-    acc = jnp.zeros((M + 1, 3), m.mp_pos.dtype).at[flat_mp].add(
-        (dirs * w[..., None]).reshape(-1, 3))
-    cnt = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].add(
-        w.reshape(-1))
-    normal = acc[:M] / jnp.maximum(cnt[:M, None], 1.0)
+    # one packed scatter-add (dirs + count) — the scatter launch
+    # latency over the K*F-row table dominates, not its FLOPs
+    acc4 = jnp.zeros((M + 1, 4), m.mp_pos.dtype).at[flat_mp].add(
+        jnp.concatenate([(dirs * w[..., None]).reshape(-1, 3),
+                         w.reshape(-1, 1)], axis=-1))
+    cnt = acc4[:M, 3]
+    normal = acc4[:M, :3] / jnp.maximum(cnt[:, None], 1.0)
 
-    # reference keyframe distance/level -> scale range: use the max distance
-    # observation and its level (approximation of mpRefKF logic)
+    # reference keyframe distance/level -> scale range: use the max
+    # level-scaled distance observation (approximation of mpRefKF logic)
     lv = m.kf_level
     dist_eff = jnp.where(valid_obs, dist, 0.0)
-    dmax_obs = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].max(
-        dist_eff.reshape(-1))[:M]
     level_factor = scale ** lv.astype(m.mp_pos.dtype)
-    dref = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].max(
+    dmax = jnp.zeros((M + 1,), m.mp_pos.dtype).at[flat_mp].max(
         (dist_eff * level_factor).reshape(-1))[:M]
-    dmax = dref
     dmin = dmax / (scale ** (n_levels - 1))
-    has_obs = cnt[:M] > 0
+    has_obs = cnt > 0
     return m._replace(
         mp_normal=jnp.where(has_obs[:, None], normal, m.mp_normal),
         mp_dmax=jnp.where(has_obs, jnp.maximum(dmax, 1e-3), m.mp_dmax),
